@@ -1,0 +1,37 @@
+"""Global numerics configuration for the TPU-native Cornell-MOE rebuild.
+
+The reference C++ core (``/root/reference/moe/optimal_learning/cpp``) runs
+exclusively in float64.  On TPU, float32 is the fast path (MXU), so the
+library is dtype-polymorphic: every function operates in the dtype of its
+inputs, with jitter policy scaled appropriately.  Tests enable x64 on CPU to
+match the reference tolerances; benchmarks run float32/bfloat16 on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Jitter added to the diagonal of the posterior covariance of points-to-sample
+# before Cholesky inside the MC-EI estimator.  Mirrors the hard-coded 1.0e-6
+# in the reference (gpp_math.cpp:2000-2002).
+EI_VARIANCE_JITTER = 1.0e-6
+
+# Minimum standard deviation guard used by the analytic 1,0-EI formulas,
+# mirroring kMinimumStdDev (gpp_math.hpp:291).
+MINIMUM_STD_DEV = 1.0e-14
+
+# Default relative jitter for training-covariance Cholesky in low precision.
+# The reference relies on observation noise for conditioning; in float32 we
+# optionally add a small relative diagonal term.
+F32_CHOLESKY_JITTER = 1.0e-6
+
+
+def enable_x64() -> None:
+    """Enable float64 globally (used by the CPU test suite for C++ parity)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    """Return float64 when x64 is enabled, else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

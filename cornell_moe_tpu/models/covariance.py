@@ -1,0 +1,245 @@
+"""Covariance kernels with derivative-observation blocks.
+
+TPU-native counterpart of ``gpp_covariance.{hpp,cpp}`` in the reference
+(/root/reference/moe/optimal_learning/cpp/gpp_covariance.hpp:66-371).
+
+Design
+------
+The reference hand-codes, per kernel, the value/gradient cross-covariance
+blocks among observed function values and observed partial derivatives
+(gpp_covariance.cpp:121-489).  Here every stationary kernel is reduced to
+three smooth scalar fields of the squared scaled distance
+``s = sum_i (x_i - y_i)^2 / l_i^2``:
+
+    F0(s) = k(x, y)
+    P(s)  = -2 dF0/ds          so  dk/dx_i       = -P * t_i
+    Q(s)  = -2 dP/ds           so  d2k/dx_i dy_j = P * delta_ij / l_i^2
+                                                   - Q * t_i t_j
+
+with ``t_i = (x_i - y_i) / l_i^2``.  This closed form is exact for the whole
+Matérn family and the squared exponential, is autodiff-safe at coincident
+points (every sqrt goes through :func:`safe_sqrt`), and vectorizes into a
+single broadcasted computation over all point pairs — the form XLA fuses
+into a few large VPU/MXU ops instead of the reference's O(n^2) scalar loop.
+
+Hyperparameters are ``[alpha, l_1, ..., l_d]`` (signal variance + per-dim
+length scales), matching the reference layout (gpp_covariance.hpp:100-120).
+Derivative-observation channels follow the reference block layout: each
+point carries ``1 + m`` channels ``[value, df/dx_{i_1}, ..., df/dx_{i_m}]``
+and matrices are point-major/channel-minor (gpp_math.cpp:391-417).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cornell_moe_tpu.ops.linalg import safe_sqrt
+
+_SQRT5 = math.sqrt(5.0)
+
+
+class StationaryCovariance(struct.PyTreeNode):
+    """Base class: a stationary kernel defined by the (F0, P, Q) fields."""
+
+    hyperparameters: jax.Array  # (1 + dim,) = [alpha, length scales...]
+
+    @property
+    def alpha(self) -> jax.Array:
+        return self.hyperparameters[0]
+
+    @property
+    def lengths(self) -> jax.Array:
+        return self.hyperparameters[1:]
+
+    @property
+    def num_hyperparameters(self) -> int:
+        return self.hyperparameters.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.hyperparameters.shape[0] - 1
+
+    # --- scalar fields (implemented by subclasses) -----------------------
+    def _f0(self, s: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def _p(self, s: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def _q(self, s: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    # --- scalar API (CovarianceInterface parity) -------------------------
+    def scaled_square_dist(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        diff = x - y
+        return jnp.sum((diff / self.lengths) ** 2, axis=-1)
+
+    def covariance(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """k(x, y) for single points (gpp_covariance.hpp:126)."""
+        return self._f0(self.scaled_square_dist(x, y))
+
+    def grad_covariance(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """d k(x, y) / dx (gpp_covariance.hpp:135)."""
+        t = (x - y) / self.lengths**2
+        return -self._p(self.scaled_square_dist(x, y)) * t
+
+    def hyperparameter_grad_covariance(self, x: jax.Array,
+                                       y: jax.Array) -> jax.Array:
+        """d k(x, y) / d hyperparameters (gpp_covariance.hpp:149)."""
+        def f(h):
+            return self.replace(hyperparameters=h).covariance(x, y)
+        return jax.grad(f)(self.hyperparameters)
+
+
+class SquareExponential(StationaryCovariance):
+    """k = alpha * exp(-s / 2)  (gpp_covariance.hpp:195)."""
+
+    def _f0(self, s):
+        return self.alpha * jnp.exp(-0.5 * s)
+
+    def _p(self, s):
+        return self._f0(s)
+
+    def _q(self, s):
+        return self._f0(s)
+
+
+class MaternNu2p5(StationaryCovariance):
+    """Matérn nu=5/2: k = alpha (1 + sqrt5 r + 5 s / 3) exp(-sqrt5 r).
+
+    (gpp_covariance.hpp:313.)  P and Q are smooth in r, so together with the
+    guarded sqrt all first-order autodiff through the blocks is exact even at
+    coincident points.
+    """
+
+    def _f0(self, s):
+        r = safe_sqrt(s)
+        return self.alpha * (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
+            jnp.exp(-_SQRT5 * r)
+
+    def _p(self, s):
+        r = safe_sqrt(s)
+        return (5.0 / 3.0) * self.alpha * (1.0 + _SQRT5 * r) * \
+            jnp.exp(-_SQRT5 * r)
+
+    def _q(self, s):
+        return (25.0 / 3.0) * self.alpha * jnp.exp(-_SQRT5 * safe_sqrt(s))
+
+
+COVARIANCE_TYPES = {
+    "square_exponential": SquareExponential,
+    "matern_2.5": MaternNu2p5,
+}
+
+
+def make_covariance(name: str, hyperparameters) -> StationaryCovariance:
+    return COVARIANCE_TYPES[name](
+        hyperparameters=jnp.asarray(hyperparameters))
+
+
+# ---------------------------------------------------------------------------
+# Block covariance builders (derivative-observation channels)
+# ---------------------------------------------------------------------------
+
+def _pairwise_fields(cov: StationaryCovariance, x1: jax.Array,
+                     x2: jax.Array):
+    """Broadcasted t (n1,n2,d) and s (n1,n2) over all point pairs."""
+    inv_l2 = 1.0 / cov.lengths**2
+    diff = x1[:, None, :] - x2[None, :, :]
+    t = diff * inv_l2
+    s = jnp.sum(diff * t, axis=-1)
+    return t, s
+
+
+def build_block_covariance(cov: StationaryCovariance, x1: jax.Array,
+                           derivatives1: Sequence[int], x2: jax.Array,
+                           derivatives2: Sequence[int]) -> jax.Array:
+    """Full cross-covariance with derivative channels.
+
+    Returns the ``(n1 * (1+m1), n2 * (1+m2))`` matrix whose (point i, channel
+    a) x (point j, channel b) entry follows the reference block layout
+    (BuildMixCovarianceMatrix, gpp_math.cpp:391-460):
+
+        a=0,b=0:  k(x_i, y_j)
+        a>0,b=0:  d k / d x_{d1[a-1]}
+        a=0,b>0:  d k / d y_{d2[b-1]}
+        a>0,b>0:  d2 k / d x_{d1[a-1]} d y_{d2[b-1]}
+    """
+    d1 = tuple(int(i) for i in derivatives1)
+    d2 = tuple(int(i) for i in derivatives2)
+    n1, n2 = x1.shape[0], x2.shape[0]
+    c1, c2 = 1 + len(d1), 1 + len(d2)
+
+    t, s = _pairwise_fields(cov, x1, x2)
+    f0 = cov._f0(s)
+    block = jnp.zeros((n1, c1, n2, c2), dtype=f0.dtype)
+    block = block.at[:, 0, :, 0].set(f0)
+
+    if d1 or d2:
+        p = cov._p(s)
+    if d1:
+        k10 = -p[..., None] * t[..., list(d1)]              # (n1, n2, m1)
+        block = block.at[:, 1:, :, 0].set(
+            jnp.transpose(k10, (0, 2, 1)))
+    if d2:
+        k01 = p[..., None] * t[..., list(d2)]               # (n1, n2, m2)
+        block = block.at[:, 0, :, 1:].set(k01)
+    if d1 and d2:
+        q = cov._q(s)
+        inv_l2 = 1.0 / cov.lengths**2
+        # delta[a, b] / l_{d1[a]}^2 — static at trace time.
+        delta = np.equal.outer(np.asarray(d1), np.asarray(d2))
+        delta_scale = jnp.asarray(delta, f0.dtype) * inv_l2[list(d1), None]
+        k11 = (p[..., None, None] * delta_scale
+               - q[..., None, None]
+               * t[..., list(d1), None] * t[..., None, list(d2)])
+        block = block.at[:, 1:, :, 1:].set(
+            jnp.transpose(k11, (0, 2, 1, 3)))
+
+    return block.reshape(n1 * c1, n2 * c2)
+
+
+def build_covariance_matrix(cov: StationaryCovariance, points: jax.Array,
+                            derivatives: Sequence[int]) -> jax.Array:
+    """Training covariance K over (value + derivative) channels.
+
+    Counterpart of BuildCovarianceMatrix (gpp_math.cpp:391-417).
+    """
+    return build_block_covariance(cov, points, derivatives, points,
+                                  derivatives)
+
+
+def build_covariance_matrix_with_noise(
+        cov: StationaryCovariance, points: jax.Array,
+        derivatives: Sequence[int], noise_variance: jax.Array) -> jax.Array:
+    """K + diag(noise), noise per channel tiled per point.
+
+    Counterpart of BuildCovarianceMatrixWithNoiseVariance
+    (gpp_math.cpp:436-460).
+    """
+    k = build_covariance_matrix(cov, points, derivatives)
+    n = points.shape[0]
+    noise = jnp.tile(jnp.asarray(noise_variance, k.dtype), n)
+    return k + jnp.diag(noise)
+
+
+def hyperparameter_grad_covariance_matrix(
+        cov: StationaryCovariance, points: jax.Array,
+        derivatives: Sequence[int]) -> jax.Array:
+    """dK/dtheta, shape (num_hyperparameters, N, N).
+
+    Counterpart of BuildHyperparameterGradCovarianceMatrix
+    (gpp_model_selection.hpp:393).  Computed by forward-mode autodiff of the
+    block builder — no hand-coded formulas.
+    """
+    def build(h):
+        return build_covariance_matrix(cov.replace(hyperparameters=h),
+                                       points, derivatives)
+    jac = jax.jacfwd(build)(cov.hyperparameters)   # (N, N, n_hyper)
+    return jnp.moveaxis(jac, -1, 0)

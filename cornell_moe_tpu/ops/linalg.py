@@ -1,0 +1,118 @@
+"""Dense linear-algebra primitives for the GP core.
+
+TPU-native replacement for the reference's hand-rolled BLAS layer
+(``gpp_linear_algebra.{hpp,cpp}``): on TPU the individual kernels
+(Cholesky, triangular solves, GEMM) are XLA primitives that tile onto the
+MXU, so this module is a thin policy layer — jitter handling, batched
+helpers, and a stable log-det — rather than a reimplementation.
+
+All matrices are row-major jnp arrays; batched variants operate over leading
+axes via vmap inside jit (the TPU analogue of the reference's per-thread
+preallocated temporaries).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def add_jitter(matrix: jax.Array, jitter) -> jax.Array:
+    """Add ``jitter`` to the diagonal of the (..., n, n) matrix."""
+    n = matrix.shape[-1]
+    return matrix + jitter * jnp.eye(n, dtype=matrix.dtype)
+
+
+def cholesky(matrix: jax.Array, jitter=0.0) -> jax.Array:
+    """Lower Cholesky factor of an SPD matrix with optional diagonal jitter.
+
+    Counterpart of ``ComputeCholeskyFactorL`` (gpp_linear_algebra.hpp:157).
+    The reference raises SingularMatrixException on failure; under jit we
+    return NaNs instead (callers surface this via ``jnp.isnan`` checks at the
+    API boundary, see ``cornell_moe_tpu.models.gp``).
+    """
+    if jitter:
+        matrix = add_jitter(matrix, jitter)
+    return jnp.linalg.cholesky(matrix)
+
+
+def solve_triangular(chol: jax.Array, rhs: jax.Array, *, lower: bool = True,
+                     trans: bool = False) -> jax.Array:
+    """Triangular solve (counterpart of TriangularMatrixVectorSolve)."""
+    return jax.scipy.linalg.solve_triangular(chol, rhs, lower=lower,
+                                             trans=1 if trans else 0)
+
+
+def cho_solve(chol: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve ``A x = rhs`` given the lower Cholesky factor of A.
+
+    Counterpart of ``CholeskyFactorLMatrixVectorSolve``.
+    """
+    y = solve_triangular(chol, rhs, lower=True, trans=False)
+    return solve_triangular(chol, y, lower=True, trans=True)
+
+
+def log_det_from_chol(chol: jax.Array) -> jax.Array:
+    """log det(A) = 2 * sum(log(diag(L))) for A = L L^T."""
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def spd_solve(matrix: jax.Array, rhs: jax.Array, jitter=0.0) -> jax.Array:
+    """Solve an SPD system via Cholesky (counterpart of SPDMatrixInverse use)."""
+    return cho_solve(cholesky(matrix, jitter=jitter), rhs)
+
+
+def safe_sqrt(s: jax.Array) -> jax.Array:
+    """sqrt with autodiff-safe behaviour at 0.
+
+    ``jnp.sqrt`` has a NaN gradient at 0; kernels evaluate pairwise distances
+    at coincident points (the diagonal of every covariance matrix), so every
+    r = sqrt(s) in the covariance layer goes through this guard.  The guarded
+    derivative at s == 0 is 0, which composes to the exact total derivative
+    for all Matérn-family expressions used here (each 1/r cancels against a
+    factor of the pairwise difference).
+    """
+    safe = jnp.where(s > 0.0, s, 1.0)
+    return jnp.where(s > 0.0, jnp.sqrt(safe), 0.0)
+
+
+def batched_cholesky(matrices: jax.Array, jitter=0.0) -> jax.Array:
+    """Cholesky over a leading batch axis (hyperparameter-ensemble axis)."""
+    if jitter:
+        matrices = add_jitter(matrices, jitter)
+    return jnp.linalg.cholesky(matrices)
+
+
+def symmetrize(matrix: jax.Array) -> jax.Array:
+    return 0.5 * (matrix + jnp.swapaxes(matrix, -1, -2))
+
+
+def chol_update_append(chol: jax.Array, cross_cov: jax.Array,
+                       new_block: jax.Array) -> jax.Array:
+    """Grow a Cholesky factor when appending rows/cols to an SPD matrix.
+
+    Given L (n, n) with A = L L^T, the cross-covariance B (n, q) and the new
+    diagonal block C (q, q), returns the (n+q, n+q) lower factor of
+    ``[[A, B], [B^T, C]]`` without refactorizing A:
+
+        L' = [[L, 0], [S^T, chol(C - S^T S)]],  S = L^{-1} B.
+
+    This is the TPU-native analogue of the reference's fantasy-GP update
+    (``GaussianProcess::AddPointsToGP``, gpp_math.hpp:393-406): O(n^2 q)
+    instead of O(n^3).
+    """
+    n = chol.shape[-1]
+    q = new_block.shape[-1]
+    s = solve_triangular(chol, cross_cov, lower=True)          # (n, q)
+    schur = new_block - s.T @ s                                 # (q, q)
+    chol_schur = jnp.linalg.cholesky(schur)
+    top = jnp.concatenate([chol, jnp.zeros((n, q), chol.dtype)], axis=1)
+    bot = jnp.concatenate([s.T, chol_schur], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def lower_triangular_only(matrix: jax.Array) -> jax.Array:
+    """Zero the strict upper triangle (ZeroUpperTriangle counterpart)."""
+    return jnp.tril(matrix)

@@ -1,0 +1,179 @@
+"""Multistart stochastic-gradient-ascent optimization, TPU style.
+
+Counterpart of the reference's optimizer layer
+(/root/reference/moe/optimal_learning/cpp/gpp_optimization.hpp and
+``python/cpp_wrappers/optimization.py``).  The reference parallelizes
+restarts with OpenMP threads over per-thread State objects
+(gpp_optimization.hpp:1452-1564); here a restart is just a batch element:
+``vmap`` over starts x ``lax.scan`` over steps compiles the entire
+multistart into one XLA program, and restarts shard across chips via
+``shard_map`` (see cornell_moe_tpu.parallel).
+
+Semantics preserved from the reference GD loop (gpp_optimization.hpp:619-705):
+  * decaying step size ``pre_mult * (i+1)^(-gamma)`` (resets each restart)
+  * steps clamped by ``domain.limit_update(max_relative_change, x, step)``
+  * Polyak-Ruppert averaging over the trailing ``num_steps_averaged`` steps
+    (python_version/optimization.py:392-530)
+  * ``max_num_restarts`` outer rounds re-entering from the current point.
+
+The objective convention is MAXIMIZATION (as in the reference: EI, KG, and
+-posterior-mean are all maximized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientDescentParameters:
+    """Mirror of the reference struct (gpp_optimizer_parameters.hpp:79)."""
+
+    num_multistarts: int = 40
+    max_num_steps: int = 100
+    max_num_restarts: int = 2
+    num_steps_averaged: int = 0
+    gamma: float = 0.7
+    pre_mult: float = 1.0
+    max_relative_change: float = 1.0
+    tolerance: float = 1.0e-7
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonParameters:
+    """Mirror of NewtonParameters (gpp_optimizer_parameters.hpp:130)."""
+
+    num_multistarts: int = 8
+    max_num_steps: int = 100
+    gamma: float = 1.05
+    time_factor: float = 1.0e-2
+    max_relative_change: float = 1.0
+    tolerance: float = 1.0e-9
+
+
+class MultistartResult(NamedTuple):
+    best_point: jax.Array       # (point_shape...)
+    best_value: jax.Array       # scalar
+    all_points: jax.Array       # (num_starts, point_shape...)
+    all_values: jax.Array       # (num_starts,)
+
+
+def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
+                    params: GradientDescentParameters) -> jax.Array:
+    """One restarted GD trajectory from x0; returns the final point.
+
+    ``value_and_grad_fn(x) -> (value, grad)``; only the grad is used inside
+    the loop (matching the reference, which never evaluates the objective
+    during descent).  The domain may be a RepeatedDomain for q-point blocks.
+    """
+    avg_n = max(int(params.num_steps_averaged), 0)
+    use_avg = 0 < avg_n <= params.max_num_steps
+
+    def one_round(x, _):
+        def step(carry, i):
+            x = carry
+            _, g = value_and_grad_fn(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+            dx = domain.limit_update(params.max_relative_change, x,
+                                     alpha * g)
+            return x + dx, x + dx
+
+        steps = jnp.arange(params.max_num_steps, dtype=x.dtype)
+        x_final, traj = lax.scan(step, x, steps)
+        if use_avg:
+            x_final = jnp.mean(traj[-avg_n:], axis=0)
+            x_final = domain.clip(x_final)
+        return x_final, None
+
+    x, _ = lax.scan(one_round, x0, None, length=max(
+        int(params.max_num_restarts), 1))
+    return x
+
+
+def multistart_optimize(value_and_grad_fn: Callable, domain,
+                        initial_points: jax.Array,
+                        params: GradientDescentParameters,
+                        value_fn: Optional[Callable] = None
+                        ) -> MultistartResult:
+    """vmapped multistart GD with argmax reduction.
+
+    Counterpart of MultistartOptimizer::MultistartOptimize
+    (gpp_optimization.hpp:1452-1564).  NaN objective values lose the argmax
+    (the reference captures per-thread exceptions and keeps going).
+    """
+    if value_fn is None:
+        def value_fn(x):
+            return value_and_grad_fn(x)[0]
+
+    final_points = jax.vmap(
+        lambda x0: gradient_ascent(value_and_grad_fn, domain, x0, params)
+    )(initial_points)
+    values = jax.vmap(value_fn)(final_points)
+    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe_values)
+    return MultistartResult(best_point=final_points[best],
+                            best_value=values[best],
+                            all_points=final_points, all_values=values)
+
+
+def multistart_optimize_with_dumb_search_fallback(
+        value_and_grad_fn: Callable, domain, initial_points: jax.Array,
+        search_points: jax.Array, params: GradientDescentParameters,
+        value_fn: Optional[Callable] = None) -> MultistartResult:
+    """GD multistart, then compare against a brute-force point evaluation.
+
+    Counterpart of ComputeOptimalPointsToSample (gpp_math.hpp:2010): run
+    multistart GD, and also evaluate the objective over a large
+    latin-hypercube set; return whichever is best.  Inside one XLA program
+    the "fallback" is free parallel work rather than a serial retry.
+    """
+    if value_fn is None:
+        def value_fn(x):
+            return value_and_grad_fn(x)[0]
+
+    gd = multistart_optimize(value_and_grad_fn, domain, initial_points,
+                             params, value_fn)
+    search_values = jax.vmap(value_fn)(search_points)
+    safe = jnp.where(jnp.isfinite(search_values), search_values, -jnp.inf)
+    best_search = jnp.argmax(safe)
+    take_search = safe[best_search] > gd.best_value
+    best_point = jnp.where(take_search, search_points[best_search],
+                           gd.best_point)
+    best_value = jnp.where(take_search, safe[best_search], gd.best_value)
+    return MultistartResult(best_point=best_point, best_value=best_value,
+                            all_points=gd.all_points,
+                            all_values=gd.all_values)
+
+
+def newton_optimize(value_and_grad_fn: Callable, domain, x0: jax.Array,
+                    params: NewtonParameters,
+                    hessian_fn: Optional[Callable] = None) -> jax.Array:
+    """Modified Newton with diagonal damping (gpp_optimization.hpp Newton).
+
+    The reference damps with ``1/(time_factor * gamma^(i+1))`` added to the
+    Hessian diagonal, fading as iterations proceed.  Used for hyperparameter
+    MAP polishing.
+    """
+    if hessian_fn is None:
+        hessian_fn = jax.hessian(lambda x: value_and_grad_fn(x)[0])
+
+    def step(x, i):
+        _, g = value_and_grad_fn(x)
+        h = hessian_fn(x)
+        damp = 1.0 / (params.time_factor * params.gamma ** (i + 1.0))
+        # maximization: solve (-H + damp I) dx = g
+        a = -h + damp * jnp.eye(x.shape[-1], dtype=x.dtype)
+        dx = jnp.linalg.solve(a, g)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dx = domain.limit_update(params.max_relative_change, x, dx)
+        return x + dx, None
+
+    x, _ = lax.scan(step, x0, jnp.arange(params.max_num_steps,
+                                         dtype=x0.dtype))
+    return x
