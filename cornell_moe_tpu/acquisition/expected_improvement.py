@@ -1,0 +1,245 @@
+"""Expected Improvement acquisition (analytic 1,0-EI and MC q,p-EI).
+
+Counterpart of the EI machinery in the reference
+(/root/reference/moe/optimal_learning/cpp/gpp_math.cpp:1991-2259 and
+``python/cpp_wrappers/expected_improvement.py``).
+
+Reference semantics preserved exactly:
+  * objective is MINIMIZATION of f; EI(x) = E[(best_so_far - min_j y_j)^+]
+    over the joint posterior of the union (points_to_sample ++
+    points_being_sampled)
+  * 1.0e-6 jitter added to the union posterior covariance diagonal before
+    Cholesky (gpp_math.cpp:2000-2002)
+  * analytic closed form for q=1, p=0 with a minimum-stddev guard
+    (gpp_math.cpp:2196-2259, kMinimumStdDev gpp_math.hpp:291)
+  * common random numbers across an optimization run: the normals are drawn
+    once per suggest call and reused for every gradient step (the
+    reference's ResetToMostRecentSeed CRN discipline, gpp_random.hpp)
+
+TPU-native design: the MC estimator is a reparameterized expectation
+``y = mu + L z`` evaluated for all draws at once (one (n_mc, q+p) matmul on
+the MXU instead of the reference's serial loop), and the gradient — the
+winner-indexed chain the reference hand-codes over grad-Cholesky tensors —
+is ``jax.grad`` of the estimator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from cornell_moe_tpu import config
+from cornell_moe_tpu.models import gp
+from cornell_moe_tpu.models.gp import GaussianProcessState
+from cornell_moe_tpu.ops import linalg, optimizers
+
+
+def draw_normals(key: jax.Array, num_mc: int, n: int,
+                 dtype=jnp.float64) -> jax.Array:
+    """Plain MC normals (n_mc, n)."""
+    return jax.random.normal(key, (num_mc, n), dtype=dtype)
+
+
+def draw_antithetic_normals(key: jax.Array, num_mc: int, n: int,
+                            dtype=jnp.float64) -> jax.Array:
+    """Antithetic pairs: z_{2k+1} = -z_{2k} (gpp_kg_optimization.cpp:88-97)."""
+    half = (num_mc + 1) // 2
+    z = jax.random.normal(key, (half, n), dtype=dtype)
+    return jnp.stack([z, -z], axis=1).reshape(2 * half, n)[:num_mc]
+
+
+def analytic_expected_improvement(state: GaussianProcessState,
+                                  point_to_sample,
+                                  best_so_far) -> jax.Array:
+    """Closed-form 1,0-EI (OnePotentialSampleExpectedImprovementEvaluator).
+
+    EI = sigma * (u * Phi(u) + phi(u)),  u = (best - mu) / sigma.
+    """
+    pts = jnp.atleast_2d(jnp.asarray(point_to_sample))
+    mu = gp.posterior_mean(state, pts)[0, 0]
+    var = gp.posterior_variance(state, pts)[0, 0]
+    sigma = jnp.sqrt(jnp.maximum(var, config.MINIMUM_STD_DEV**2))
+    u = (best_so_far - mu) / sigma
+    return sigma * (u * norm.cdf(u) + norm.pdf(u))
+
+
+def monte_carlo_expected_improvement(state: GaussianProcessState,
+                                     points_to_sample,
+                                     points_being_sampled,
+                                     best_so_far, normals: jax.Array
+                                     ) -> jax.Array:
+    """q,p-EI MC estimator (ComputeExpectedImprovement semantics).
+
+    ``normals`` has shape (num_mc, q + p); improvement per draw is
+    ``max(best_so_far - min_j (mu_j + (L z)_j), 0)``.
+    """
+    union = jnp.concatenate(
+        [jnp.atleast_2d(points_to_sample),
+         jnp.atleast_2d(points_being_sampled)], axis=0) \
+        if points_being_sampled is not None and \
+        jnp.size(points_being_sampled) else jnp.atleast_2d(points_to_sample)
+
+    mu = gp.posterior_mean(state, union)[:, 0]
+    var = gp.posterior_variance(state, union)
+    chol = linalg.cholesky(var, jitter=config.EI_VARIANCE_JITTER)
+    samples = mu[None, :] + normals @ chol.T            # (n_mc, q+p)
+    improvement = jnp.maximum(best_so_far - jnp.min(samples, axis=1), 0.0)
+    return jnp.mean(improvement)
+
+
+def expected_improvement_value_and_grad(state: GaussianProcessState,
+                                        points_to_sample,
+                                        points_being_sampled,
+                                        best_so_far, normals):
+    """EI and its gradient wrt points_to_sample, via jax.grad.
+
+    Replaces ComputeGradExpectedImprovement's hand-coded winner-indexed
+    grad-Cholesky chain (gpp_math.cpp:2050-2129).
+    """
+    def f(pts):
+        return monte_carlo_expected_improvement(
+            state, pts, points_being_sampled, best_so_far, normals)
+    return jax.value_and_grad(f)(jnp.atleast_2d(points_to_sample))
+
+
+# ---------------------------------------------------------------------------
+# Optimization endpoints
+# ---------------------------------------------------------------------------
+
+def multistart_expected_improvement_optimization(
+        key: jax.Array, state: GaussianProcessState, domain,
+        num_to_sample: int,
+        params: optimizers.GradientDescentParameters,
+        points_being_sampled=None, best_so_far=None,
+        num_mc_iterations: int = 1000,
+        num_random_search: int = 0,
+        use_analytic: Optional[bool] = None) -> jax.Array:
+    """Suggest the q best points to sample next by maximizing q,p-EI.
+
+    Counterpart of ComputeOptimalPointsToSample (gpp_math.hpp:2010) +
+    multistart_expected_improvement_optimization
+    (cpp_wrappers/expected_improvement.py:22).  Analytic path for q=1, p=0
+    (gpp_math.cpp:2196).  Returns (q, dim).
+    """
+    p = 0 if points_being_sampled is None else \
+        jnp.atleast_2d(points_being_sampled).shape[0]
+    if best_so_far is None:
+        best_so_far = state.best_observed_value
+    if use_analytic is None:
+        use_analytic = (num_to_sample == 1 and p == 0)
+
+    from cornell_moe_tpu.ops.domains import RepeatedDomain
+    rep = RepeatedDomain(domain=domain, num_repeats=num_to_sample)
+    key_start, key_mc, key_search = jax.random.split(key, 3)
+    starts = rep.generate_latin_hypercube_points(
+        key_start, params.num_multistarts)
+
+    dtype = state.points_sampled.dtype
+    if use_analytic:
+        def vg(pts):
+            return jax.value_and_grad(
+                lambda q_pts: analytic_expected_improvement(
+                    state, q_pts, best_so_far))(pts)
+    else:
+        union_n = num_to_sample + p
+        normals = draw_normals(key_mc, num_mc_iterations, union_n,
+                               dtype=dtype)
+
+        def vg(pts):
+            return expected_improvement_value_and_grad(
+                state, pts, points_being_sampled, best_so_far, normals)
+
+    if num_random_search:
+        search = rep.generate_latin_hypercube_points(
+            key_search, num_random_search)
+        result = optimizers.multistart_optimize_with_dumb_search_fallback(
+            vg, rep, starts, search, params)
+    else:
+        result = optimizers.multistart_optimize(vg, rep, starts, params)
+    return result.best_point
+
+
+def evaluate_expected_improvement_at_point_list(
+        state: GaussianProcessState, points_list, key=None,
+        points_being_sampled=None, best_so_far=None,
+        num_mc_iterations: int = 1000,
+        use_analytic: Optional[bool] = None) -> jax.Array:
+    """EI at each (q, dim) candidate block (EvaluateEIAtPointList)."""
+    pts = jnp.asarray(points_list)
+    if pts.ndim == 2:
+        pts = pts[:, None, :]
+    if best_so_far is None:
+        best_so_far = state.best_observed_value
+    q = pts.shape[1]
+    p = 0 if points_being_sampled is None else \
+        jnp.atleast_2d(points_being_sampled).shape[0]
+    if use_analytic is None:
+        use_analytic = (q == 1 and p == 0)
+
+    if use_analytic:
+        return jax.vmap(lambda b: analytic_expected_improvement(
+            state, b, best_so_far))(pts)
+    normals = draw_normals(key, num_mc_iterations, q + p,
+                           dtype=pts.dtype)
+    return jax.vmap(lambda b: monte_carlo_expected_improvement(
+        state, b, points_being_sampled, best_so_far, normals))(pts)
+
+
+# ---------------------------------------------------------------------------
+# Heuristic batch policies (ConstantLiar / KrigingBeliever)
+# ---------------------------------------------------------------------------
+
+def constant_liar_estimate(state: GaussianProcessState, point,
+                           lie_value, lie_noise_variance=0.0):
+    """ConstantLiarEstimationPolicy (gpp_heuristic_expected_improvement)."""
+    del state, point
+    return lie_value, lie_noise_variance
+
+
+def kriging_believer_estimate(state: GaussianProcessState, point,
+                              std_deviation_coef: float = 0.0,
+                              kriging_noise_variance: float = 0.0):
+    """KrigingBelieverEstimationPolicy: mu(x) + c * sigma(x)."""
+    pts = jnp.atleast_2d(jnp.asarray(point))
+    mu = gp.posterior_mean(state, pts)[0, 0]
+    if std_deviation_coef:
+        var = gp.posterior_variance(state, pts)[0, 0]
+        mu = mu + std_deviation_coef * jnp.sqrt(jnp.maximum(var, 0.0))
+    return mu, kriging_noise_variance
+
+
+def heuristic_expected_improvement_optimization(
+        key: jax.Array, state: GaussianProcessState, domain,
+        num_to_sample: int, params: optimizers.GradientDescentParameters,
+        estimation_policy=None, best_so_far=None,
+        num_mc_iterations: int = 1000) -> jax.Array:
+    """Sequential q-point selection via fantasy updates (heuristic q-EI).
+
+    Counterpart of ComputeHeuristicPointsToSample: pick one point by 1,0-EI,
+    append a fantasized observation (constant-liar / kriging-believer),
+    repeat q times.
+    """
+    if best_so_far is None:
+        best_so_far = state.best_observed_value
+    if estimation_policy is None:
+        estimation_policy = partial(kriging_believer_estimate)
+
+    chosen = []
+    for i in range(num_to_sample):
+        key, sub = jax.random.split(key)
+        pt = multistart_expected_improvement_optimization(
+            sub, state, domain, 1, params, best_so_far=best_so_far,
+            num_mc_iterations=num_mc_iterations)
+        value, _noise = estimation_policy(state, pt)
+        full_value = jnp.concatenate(
+            [jnp.reshape(value, (1,)),
+             jnp.zeros((state.num_derivatives,),
+                       state.points_sampled_value.dtype)])
+        state = gp.add_sampled_points(state, pt, full_value[None, :],
+                                     update_mean=False)
+        chosen.append(pt.reshape(1, -1))
+    return jnp.concatenate(chosen, axis=0)

@@ -1,0 +1,307 @@
+"""On-device MCMC hyperparameter inference and the batched GP ensemble.
+
+Counterpart of ``python/cpp_wrappers/log_likelihood_mcmc.py`` (the
+``GaussianProcessLogLikelihoodMCMC.train()`` loop built on host-side emcee)
+and of ``GaussianProcessMCMC`` (gpp_knowledge_gradient_mcmc_optimization
+.hpp:140, a std::vector of per-sample GPs).
+
+TPU-native design
+-----------------
+The reference crosses the Python->C++ boundary ~(burnin + chain) * n_chains
+times, each call rebuilding and refactorizing K from scratch on 4 OpenMP
+threads (SURVEY.md section 3.2 — the 5.53 s retrain).  Here the
+affine-invariant "stretch move" ensemble sampler (Goodman & Weare 2010, the
+algorithm inside emcee) runs entirely on device: walkers are a batch axis,
+every step evaluates all walkers' log-posteriors as one vmapped Cholesky
+batch on the MXU, and the whole chain is a single ``lax.scan`` — one XLA
+program for the entire train() call.
+
+The hyperparameter ensemble GP is a *stacked* GaussianProcessState (leading
+ensemble axis on every array leaf) rather than a list of models, so every
+downstream acquisition averages over the ensemble with ``vmap`` instead of a
+serial loop (gpp_knowledge_gradient_mcmc_optimization.cpp:137-143).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.models import gp as gp_mod
+from cornell_moe_tpu.models import likelihood as lik_mod
+from cornell_moe_tpu.models.priors import DefaultPrior
+
+# Hard bounds on log-hyperparameters (log_likelihood_mcmc.py:286).
+LOG_BOUND = 20.0
+
+# Noise pinned when noisy=False (log_likelihood_mcmc.py:231).
+NOISELESS_VALUE = 1.0e-8
+
+
+def stretch_move_step(key: jax.Array, positions: jax.Array,
+                      log_probs: jax.Array, log_prob_fn: Callable,
+                      a: float = 2.0):
+    """One ensemble stretch-move update (both half-ensembles).
+
+    ``positions`` is (W, D) with W even; ``log_prob_fn`` maps (W, D) ->
+    (W,).  Returns updated (positions, log_probs).
+    """
+    w, d = positions.shape
+    half = w // 2
+
+    def update_half(key, movers, movers_lp, others):
+        kz, kc, ku = jax.random.split(key, 3)
+        # g(z) ~ 1/sqrt(z) on [1/a, a]  =>  z = ((a-1) u + 1)^2 / a
+        u = jax.random.uniform(kz, (half,), dtype=positions.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        partners = others[jax.random.randint(kc, (half,), 0, half)]
+        proposal = partners + z[:, None] * (movers - partners)
+        prop_lp = log_prob_fn(proposal)
+        log_accept = (d - 1.0) * jnp.log(z) + prop_lp - movers_lp
+        accept = jnp.log(
+            jax.random.uniform(ku, (half,), dtype=positions.dtype)
+        ) < log_accept
+        new_pos = jnp.where(accept[:, None], proposal, movers)
+        new_lp = jnp.where(accept, prop_lp, movers_lp)
+        return new_pos, new_lp
+
+    k1, k2 = jax.random.split(key)
+    first, second = positions[:half], positions[half:]
+    lp1, lp2 = log_probs[:half], log_probs[half:]
+    first, lp1 = update_half(k1, first, lp1, second)
+    second, lp2 = update_half(k2, second, lp2, first)
+    return jnp.concatenate([first, second]), jnp.concatenate([lp1, lp2])
+
+
+def run_ensemble_mcmc(key: jax.Array, log_prob_fn: Callable,
+                      initial_positions: jax.Array, num_steps: int,
+                      a: float = 2.0, keep_chain: bool = False):
+    """Run the stretch-move sampler for ``num_steps`` via lax.scan.
+
+    Returns (final_positions, final_log_probs[, chain]).
+    """
+    lp0 = log_prob_fn(initial_positions)
+
+    def step(carry, k):
+        pos, lp = carry
+        pos, lp = stretch_move_step(k, pos, lp, log_prob_fn, a=a)
+        return (pos, lp), (pos if keep_chain else None)
+
+    keys = jax.random.split(key, num_steps)
+    (pos, lp), chain = lax.scan(step, (initial_positions, lp0), keys)
+    if keep_chain:
+        return pos, lp, chain
+    return pos, lp
+
+
+# ---------------------------------------------------------------------------
+# Batched GP ensemble (GaussianProcessMCMC counterpart)
+# ---------------------------------------------------------------------------
+
+def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
+                    noises: jax.Array, points, values,
+                    derivatives: Sequence[int] = (), jitter: float = 0.0
+                    ) -> gp_mod.GaussianProcessState:
+    """Fit one GP per hyperparameter sample as a stacked state.
+
+    ``hypers`` is (S, 1+dim) covariance hyperparameters (linear space);
+    ``noises`` is (S, 1+m).  Equivalent to GaussianProcessMCMC's vector of
+    GaussianProcess objects (gpp_kg_mcmc_optimization.cpp:40-49), but with
+    the ensemble as a leading batch axis on every leaf.
+    """
+    x = jnp.asarray(points)
+    y = jnp.asarray(values)
+    if y.ndim == 1:
+        y = y[:, None]
+
+    def one(h, nv):
+        cov = cov_mod.COVARIANCE_TYPES[kernel_name](hyperparameters=h)
+        return gp_mod.fit_gp(cov, nv, x, y, derivatives, jitter=jitter)
+
+    return jax.vmap(one)(jnp.asarray(hypers), jnp.asarray(noises))
+
+
+def ensemble_size(states: gp_mod.GaussianProcessState) -> int:
+    return states.points_sampled.shape[0]
+
+
+def ensemble_member(states: gp_mod.GaussianProcessState, i: int
+                    ) -> gp_mod.GaussianProcessState:
+    return jax.tree.map(lambda leaf: leaf[i], states)
+
+
+# ---------------------------------------------------------------------------
+# The training object (GaussianProcessLogLikelihoodMCMC counterpart)
+# ---------------------------------------------------------------------------
+
+class GaussianProcessLogLikelihoodMCMC:
+    """MCMC treatment of GP hyperparameters, on device.
+
+    Mirrors the reference class (log_likelihood_mcmc.py:68): hyperparameters
+    theta = log([alpha, l_1..l_d, noise_channels...]) with a prior, sampled
+    by an ensemble sampler; ``train()`` runs burn-in once then continues the
+    chain, keeping the last sample of ``n_hypers`` random walkers.
+
+    Unlike the reference, the entire chain is one jitted device program and
+    the resulting ensemble is a stacked GP state usable directly by the
+    vmapped MCMC-averaged acquisitions.
+    """
+
+    def __init__(self, historical_data, derivatives: Sequence[int] = (),
+                 prior=None, chain_length: int = 1000,
+                 burnin_steps: int = 2000, n_hypers: int = 16,
+                 noisy: bool = True, kernel_name: str = "matern_2.5",
+                 rng_key: Optional[jax.Array] = None):
+        self._data = historical_data
+        self._derivatives = tuple(int(i) for i in derivatives)
+        self.dim = historical_data.dim
+        num_noise = 1 + len(self._derivatives)
+        n_dims = 1 + self.dim + num_noise
+        self.prior = prior if prior is not None else DefaultPrior(
+            n_dims=n_dims, num_noise=num_noise)
+        self.chain_length = chain_length
+        self.burnin_steps = burnin_steps
+        # even walker count >= 2*D, as emcee requires
+        self.n_hypers = max(n_hypers, 2 * n_dims)
+        if self.n_hypers % 2:
+            self.n_hypers += 1
+        self.noisy = noisy
+        self.kernel_name = kernel_name
+        self.burned = False
+        self.p0 = None
+        self._key = rng_key if rng_key is not None else \
+            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        self._models: Optional[gp_mod.GaussianProcessState] = None
+        self._hypers = None
+        self._noises = None
+
+    # -- log posterior ----------------------------------------------------
+    def _make_log_posterior(self):
+        x = jnp.asarray(self._data.points_sampled)
+        y = jnp.asarray(self._data.points_sampled_value)
+        derivs = self._derivatives
+        dim = self.dim
+        num_noise = 1 + len(derivs)
+        noisy = self.noisy
+        prior = self.prior
+        kernel = cov_mod.COVARIANCE_TYPES[self.kernel_name]
+
+        def log_posterior_single(theta):
+            in_bounds = jnp.all(jnp.abs(theta) <= LOG_BOUND)
+            lp = prior.lnprob(theta)
+            hyps = jnp.exp(theta)
+            cov_hyps = hyps[:dim + 1]
+            noise = hyps[dim + 1:]
+            if not noisy:
+                noise = jnp.full((num_noise,), NOISELESS_VALUE,
+                                 dtype=theta.dtype)
+            lml = lik_mod.log_marginal_likelihood(
+                kernel(hyperparameters=cov_hyps), noise, x, y, derivs)
+            val = lp + lml
+            return jnp.where(in_bounds & jnp.isfinite(val), val, -jnp.inf)
+
+        return jax.vmap(log_posterior_single)
+
+    def compute_log_likelihood(self, theta) -> jax.Array:
+        """Log posterior at one log-hyperparameter vector (API parity)."""
+        return self._make_log_posterior()(
+            jnp.atleast_2d(jnp.asarray(theta)))[0]
+
+    # -- training ---------------------------------------------------------
+    def train(self, do_optimize: bool = True) -> None:
+        if do_optimize:
+            log_post = jax.jit(self._make_log_posterior())
+            self._key, k_init, k_burn, k_chain, k_pick = \
+                jax.random.split(self._key, 5)
+            if not self.burned:
+                p0 = self.prior.sample_from_prior(k_init, self.n_hypers)
+                p0 = jnp.clip(p0, -LOG_BOUND + 1e-3, LOG_BOUND - 1e-3)
+                p0, _ = run_ensemble_mcmc(k_burn, log_post, p0,
+                                          self.burnin_steps)
+                self.p0 = p0
+                self.burned = True
+            pos, _ = run_ensemble_mcmc(k_chain, log_post, self.p0,
+                                       self.chain_length)
+            self.p0 = pos
+            pick = jax.random.randint(k_pick, (self.n_hypers,), 0,
+                                      self.n_hypers)
+            self.hypers = np.asarray(pos)[np.asarray(pick)]
+        self._finalize_models()
+
+    def optimize(self, num_restarts: int = 1) -> None:
+        """MAP alternative to train() (log_likelihood_mcmc.py:241),
+        polished with scipy L-BFGS-B on the jitted objective."""
+        import scipy.optimize
+
+        log_post = jax.jit(self._make_log_posterior())
+        grad_fn = jax.jit(jax.grad(
+            lambda t: -self._make_log_posterior()(t[None])[0]))
+
+        def nll(t):
+            v = float(log_post(jnp.asarray(t)[None])[0])
+            return -v if np.isfinite(v) else 1e25
+
+        best, best_val = None, np.inf
+        for _ in range(max(num_restarts, 1)):
+            self._key, k = jax.random.split(self._key)
+            t0 = np.asarray(self.prior.sample_from_prior(k, 1))[0]
+            res = scipy.optimize.minimize(
+                nll, t0, jac=lambda t: np.asarray(grad_fn(jnp.asarray(t))),
+                method="L-BFGS-B")
+            if res.fun < best_val:
+                best, best_val = res.x, res.fun
+        self.hypers = np.asarray(best)[None, :]
+        self._finalize_models()
+
+    def _finalize_models(self) -> None:
+        num_noise = 1 + len(self._derivatives)
+        samples = np.asarray(self.hypers)
+        keep = ~np.any((samples < -LOG_BOUND) | (samples > LOG_BOUND),
+                       axis=1)
+        samples = samples[keep] if keep.any() else samples
+        lin = np.exp(samples)
+        cov_hypers = lin[:, :self.dim + 1]
+        if self.noisy:
+            noises = lin[:, self.dim + 1:]
+        else:
+            noises = np.full((lin.shape[0], num_noise), NOISELESS_VALUE)
+        self._hypers, self._noises = cov_hypers, noises
+        self._models = fit_gp_ensemble(
+            self.kernel_name, jnp.asarray(cov_hypers),
+            jnp.asarray(noises), self._data.points_sampled,
+            self._data.points_sampled_value, self._derivatives)
+
+    # -- accessors (reference API parity) ---------------------------------
+    @property
+    def models(self) -> gp_mod.GaussianProcessState:
+        """Stacked GP ensemble state (leading axis = MCMC sample)."""
+        if self._models is None:
+            raise RuntimeError("call train() first")
+        return self._models
+
+    @property
+    def is_trained(self) -> bool:
+        return self._models is not None
+
+    @property
+    def derivatives(self):
+        return self._derivatives
+
+    @property
+    def num_mcmc(self) -> int:
+        return 0 if self._models is None else ensemble_size(self._models)
+
+    def add_sampled_points(self, sampled_points) -> None:
+        """Append observations and refresh the ensemble lazily on next
+        train(); mirrors log_likelihood_mcmc.py:add_sampled_points."""
+        self._data.append_sample_points(sampled_points)
+        if self._models is not None:
+            self._models = fit_gp_ensemble(
+                self.kernel_name, jnp.asarray(self._hypers),
+                jnp.asarray(self._noises), self._data.points_sampled,
+                self._data.points_sampled_value, self._derivatives)

@@ -1,0 +1,164 @@
+"""EI tests: analytic vs MC agreement, FD gradient pings, optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from cornell_moe_tpu.acquisition import expected_improvement as ei
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.models import gp
+from cornell_moe_tpu.ops import optimizers
+from cornell_moe_tpu.ops.domains import TensorProductDomain
+from reference_impl import central_difference
+
+
+def _gp_1d(rng, n=8, noise=1e-4):
+    cov = cov_mod.make_covariance("matern_2.5", [1.0, 0.7])
+    x = np.sort(rng.random(n) * 4 - 2)[:, None]
+    y = np.sin(2 * x[:, 0])
+    return gp.fit_gp(cov, jnp.asarray([noise]), jnp.asarray(x),
+                     jnp.asarray(y)[:, None]), x, y
+
+
+def test_analytic_ei_matches_closed_form(rng):
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    pt = jnp.asarray([[0.3]])
+    mu = float(gp.posterior_mean(state, pt)[0, 0])
+    sigma = float(np.sqrt(gp.posterior_variance(state, pt)[0, 0]))
+    u = (best - mu) / sigma
+    expected = sigma * (u * scipy.stats.norm.cdf(u) +
+                        scipy.stats.norm.pdf(u))
+    got = float(ei.analytic_expected_improvement(state, pt, best))
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+    assert got >= 0.0
+
+
+def test_mc_ei_converges_to_analytic(rng):
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    pt = jnp.asarray([[0.9]])
+    analytic = float(ei.analytic_expected_improvement(state, pt, best))
+    normals = ei.draw_normals(jax.random.PRNGKey(0), 200000, 1)
+    mc = float(ei.monte_carlo_expected_improvement(state, pt, None, best,
+                                                   normals))
+    # MC jitter adds 1e-6 variance; tolerance accounts for both
+    np.testing.assert_allclose(mc, analytic, rtol=2e-2, atol=1e-4)
+
+
+def test_qei_exceeds_single_ei(rng):
+    """q-EI of a set must be >= EI of its best member (more chances)."""
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    normals2 = ei.draw_normals(jax.random.PRNGKey(1), 50000, 2)
+    normals1 = normals2[:, :1]
+    pts = jnp.asarray([[0.4], [1.2]])
+    q2 = float(ei.monte_carlo_expected_improvement(state, pts, None, best,
+                                                   normals2))
+    e1 = float(ei.monte_carlo_expected_improvement(state, pts[:1], None,
+                                                   best, normals1))
+    e2 = float(ei.monte_carlo_expected_improvement(state, pts[1:], None,
+                                                   best, normals1))
+    assert q2 >= max(e1, e2) - 1e-3
+
+
+def test_mc_ei_gradient_ping(rng):
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    normals = ei.draw_normals(jax.random.PRNGKey(2), 4000, 2)
+    pts0 = np.array([[0.35], [1.1]])
+
+    val, grad = ei.expected_improvement_value_and_grad(
+        state, jnp.asarray(pts0), None, best, normals)
+
+    def f(flat):
+        return float(ei.monte_carlo_expected_improvement(
+            state, jnp.asarray(flat.reshape(2, 1)), None, best, normals))
+
+    fd = central_difference(f, pts0.reshape(-1), eps=1e-5).reshape(2, 1)
+    np.testing.assert_allclose(np.asarray(grad), fd, rtol=5e-4, atol=1e-7)
+    assert float(val) >= 0.0
+
+
+def test_analytic_ei_gradient_ping(rng):
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    pt0 = np.array([[0.55]])
+    g = jax.grad(lambda p: ei.analytic_expected_improvement(
+        state, p, best))(jnp.asarray(pt0))
+
+    def f(flat):
+        return float(ei.analytic_expected_improvement(
+            state, jnp.asarray(flat.reshape(1, 1)), best))
+
+    fd = central_difference(f, pt0.reshape(-1), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(g).reshape(-1), fd, rtol=1e-5)
+
+
+def test_ei_with_points_being_sampled(rng):
+    """p > 0: EI near an in-flight point should be suppressed."""
+    state, x, y = _gp_1d(rng)
+    best = y.min()
+    being = jnp.asarray([[0.5]])
+    normals = ei.draw_normals(jax.random.PRNGKey(3), 50000, 2)
+    near = float(ei.monte_carlo_expected_improvement(
+        state, jnp.asarray([[0.501]]), being, best, normals))
+    normals1 = normals[:, :1]
+    solo = float(ei.monte_carlo_expected_improvement(
+        state, jnp.asarray([[0.501]]), None, best, normals1))
+    # with a duplicate in-flight point, marginal gain is roughly halved
+    assert near < solo + 1e-6
+
+
+def test_multistart_ei_optimization_improves(rng):
+    state, x, y = _gp_1d(rng)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=12, max_num_steps=60, max_num_restarts=2,
+        gamma=0.7, pre_mult=0.5)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    pt = ei.multistart_expected_improvement_optimization(
+        jax.random.PRNGKey(4), state, dom, 1, params)
+    assert pt.shape == (1, 1)
+    # optimized point beats 99% of a random grid
+    grid = jnp.linspace(-2, 2, 101)[:, None, None]
+    grid_ei = np.asarray(ei.evaluate_expected_improvement_at_point_list(
+        state, grid))
+    best_ei = float(ei.analytic_expected_improvement(
+        state, pt, float(y.min())))
+    assert best_ei >= np.quantile(grid_ei, 0.99) - 1e-9
+
+
+def test_qei_optimization_spreads_points(rng):
+    state, x, y = _gp_1d(rng)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=50, max_num_restarts=2,
+        gamma=0.7, pre_mult=0.4)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    pts = ei.multistart_expected_improvement_optimization(
+        jax.random.PRNGKey(5), state, dom, 2, params,
+        num_mc_iterations=800)
+    assert pts.shape == (2, 1)
+    # batch points should not collapse onto each other
+    assert abs(float(pts[0, 0] - pts[1, 0])) > 1e-2
+
+
+def test_kriging_and_constant_liar_policies(rng):
+    state, x, y = _gp_1d(rng)
+    val, noise = ei.kriging_believer_estimate(state, jnp.asarray([[0.2]]))
+    mu = float(gp.posterior_mean(state, jnp.asarray([[0.2]]))[0, 0])
+    np.testing.assert_allclose(float(val), mu, rtol=1e-12)
+    val, noise = ei.constant_liar_estimate(state, None, 3.25, 0.1)
+    assert val == 3.25 and noise == 0.1
+
+
+def test_heuristic_ei_returns_q_distinct_points(rng):
+    state, x, y = _gp_1d(rng)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=40, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.4)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    pts = ei.heuristic_expected_improvement_optimization(
+        jax.random.PRNGKey(6), state, dom, 2, params)
+    assert pts.shape == (2, 1)
+    assert abs(float(pts[0, 0] - pts[1, 0])) > 1e-3

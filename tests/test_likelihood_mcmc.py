@@ -1,0 +1,211 @@
+"""Model-selection tests: LML vs numpy, grad pings, priors, ensemble MCMC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.models import likelihood as lik
+from cornell_moe_tpu.models import mcmc, priors
+from cornell_moe_tpu.utils.data_containers import HistoricalData, SamplePoint
+from reference_impl import build_k, central_difference, se_kernel
+
+
+def _data(rng, n=9, dim=2):
+    x = rng.standard_normal((n, dim))
+    y = np.sin(x.sum(axis=1)) + 0.05 * rng.standard_normal(n)
+    return x, y
+
+
+def test_lml_matches_numpy(rng):
+    x, y = _data(rng)
+    hypers = np.array([1.2, 0.8, 1.1])
+    noise = 1e-2
+    cov = cov_mod.make_covariance("square_exponential", hypers)
+    got = float(lik.log_marginal_likelihood(cov, jnp.asarray([noise]),
+                                            jnp.asarray(x),
+                                            jnp.asarray(y)))
+    k = build_k(se_kernel, hypers[0], hypers[1:], x) + noise * np.eye(len(x))
+    expected = scipy.stats.multivariate_normal(np.zeros(len(x)), k).logpdf(y)
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+def test_grad_lml_ping(rng):
+    x, y = _data(rng)
+    hypers = np.array([1.2, 0.8, 1.1])
+    cov = cov_mod.make_covariance("matern_2.5", hypers)
+    noise = jnp.asarray([1e-2])
+    got = np.asarray(lik.grad_log_marginal_likelihood(
+        cov, noise, jnp.asarray(x), jnp.asarray(y)))
+
+    def f(h):
+        return float(lik.log_marginal_likelihood(
+            cov_mod.make_covariance("matern_2.5", h), noise,
+            jnp.asarray(x), jnp.asarray(y)))
+
+    fd = central_difference(f, hypers)
+    np.testing.assert_allclose(got, fd, rtol=1e-6, atol=1e-9)
+
+
+def test_lml_with_derivative_observations_is_finite(rng):
+    dim, n = 2, 6
+    x = rng.standard_normal((n, dim))
+    y = np.hstack([np.sin(x.sum(1))[:, None], np.cos(x)])   # (n, 3)
+    cov = cov_mod.make_covariance("matern_2.5", [1.0, 0.9, 1.1])
+    val = float(lik.log_marginal_likelihood(
+        cov, jnp.asarray([1e-3, 1e-3, 1e-3]), jnp.asarray(x),
+        jnp.asarray(y), derivatives=(0, 1)))
+    assert np.isfinite(val)
+
+
+def test_loo_log_likelihood(rng):
+    """LOO must equal the sum of per-left-out-point predictive densities."""
+    x, y = _data(rng, n=7)
+    hypers = np.array([1.0, 1.0, 1.0])
+    noise = 0.05
+    cov = cov_mod.make_covariance("square_exponential", hypers)
+    got = float(lik.leave_one_out_log_likelihood(
+        cov, jnp.asarray([noise]), jnp.asarray(x), jnp.asarray(y)))
+
+    from reference_impl import gp_posterior
+    total = 0.0
+    for i in range(len(x)):
+        mask = np.arange(len(x)) != i
+        mu, covm = gp_posterior(se_kernel, hypers[0], hypers[1:], x[mask],
+                                y[mask], noise, x[i:i + 1], mean=0.0)
+        total += scipy.stats.norm.logpdf(y[i], mu[0],
+                                         np.sqrt(covm[0, 0] + noise))
+    np.testing.assert_allclose(got, total, rtol=1e-8)
+
+
+def test_evaluate_log_likelihood_at_list(rng):
+    x, y = _data(rng)
+    hlist = np.abs(rng.standard_normal((5, 3))) + 0.5
+    vals = np.asarray(lik.evaluate_log_likelihood_at_hyperparameter_list(
+        "matern_2.5", hlist, jnp.asarray([1e-2]), jnp.asarray(x),
+        jnp.asarray(y)))
+    assert vals.shape == (5,)
+    for i in range(5):
+        one = float(lik.log_marginal_likelihood(
+            cov_mod.make_covariance("matern_2.5", hlist[i]),
+            jnp.asarray([1e-2]), jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(vals[i], one, rtol=1e-12)
+
+
+# --- priors ---------------------------------------------------------------
+
+def test_tophat_prior():
+    p = priors.TophatPrior(min=-2.0, max=3.0)
+    assert float(p.lnprob(jnp.asarray([0.0, 1.0]))) == 0.0
+    assert float(p.lnprob(jnp.asarray([-3.0]))) == -np.inf
+    s = p.sample_from_prior(jax.random.PRNGKey(0), 100, 2)
+    assert bool(jnp.all((s >= -2.0) & (s <= 3.0)))
+
+
+def test_normal_prior_matches_scipy():
+    p = priors.NormalPrior(mean=0.5, sigma=2.0)
+    theta = np.array([0.3])
+    np.testing.assert_allclose(
+        float(p.lnprob(jnp.asarray(theta))),
+        scipy.stats.norm.logpdf(theta, 0.5, 2.0).sum(), rtol=1e-10)
+
+
+def test_horseshoe_prior_matches_reference_formula():
+    p = priors.HorseshoePrior(scale=0.1)
+    theta = np.array([-2.3])
+    expected = np.log(np.log(1 + 3.0 * (0.1 / theta) ** 2)).sum()
+    np.testing.assert_allclose(float(p.lnprob(jnp.asarray(theta))),
+                               expected, rtol=1e-10)
+
+
+def test_default_prior_structure():
+    dim = 2
+    p = priors.DefaultPrior(n_dims=1 + dim + 1, num_noise=1)
+    theta = jnp.asarray([0.1, 0.5, 0.5, -2.0])
+    v = float(p.lnprob(theta))
+    assert np.isfinite(v)
+    # out-of-tophat length scale kills it
+    theta_bad = jnp.asarray([0.1, 5.0, 0.5, -2.0])
+    assert float(p.lnprob(theta_bad)) == -np.inf
+    s = p.sample_from_prior(jax.random.PRNGKey(1), 50)
+    assert s.shape == (50, 4)
+
+
+# --- ensemble sampler -----------------------------------------------------
+
+def test_stretch_move_sampler_recovers_gaussian():
+    """Sampler must reproduce the moments of a known 2-d Gaussian."""
+    mean = jnp.asarray([1.0, -2.0])
+    cov_inv = jnp.linalg.inv(jnp.asarray([[1.0, 0.6], [0.6, 2.0]]))
+
+    def log_prob(theta):   # (W, D) -> (W,)
+        d = theta - mean
+        return -0.5 * jnp.einsum("wi,ij,wj->w", d, cov_inv, d)
+
+    key = jax.random.PRNGKey(3)
+    p0 = jax.random.normal(key, (32, 2))
+    pos, lp, chain = mcmc.run_ensemble_mcmc(
+        jax.random.PRNGKey(4), log_prob, p0, 1500, keep_chain=True)
+    samples = np.asarray(chain[500:]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.mean(0), [1.0, -2.0], atol=0.1)
+    emp_cov = np.cov(samples.T)
+    np.testing.assert_allclose(emp_cov, [[1.0, 0.6], [0.6, 2.0]], atol=0.25)
+
+
+def test_gp_ensemble_stacking(rng):
+    x, y = _data(rng, n=8)
+    hypers = np.abs(rng.standard_normal((4, 3))) + 0.5
+    noises = np.full((4, 1), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None])
+    assert mcmc.ensemble_size(states) == 4
+    from cornell_moe_tpu.models import gp as gp_mod
+    xt = jnp.asarray(rng.standard_normal((3, 2)))
+    mus = jax.vmap(lambda s: gp_mod.posterior_mean(s, xt))(states)
+    assert mus.shape == (4, 3, 1)
+    # member i must equal an individually-fit GP
+    single = gp_mod.fit_gp(
+        cov_mod.make_covariance("matern_2.5", hypers[2]),
+        jnp.asarray(noises[2]), jnp.asarray(x), jnp.asarray(y)[:, None])
+    member = mcmc.ensemble_member(states, 2)
+    np.testing.assert_allclose(
+        np.asarray(gp_mod.posterior_mean(member, xt)),
+        np.asarray(gp_mod.posterior_mean(single, xt)), rtol=1e-10)
+
+
+def test_mcmc_training_end_to_end(rng):
+    """Short-chain end-to-end train(): finite models, sane hyper ranges."""
+    x = rng.random((12, 1)) * 4 - 2
+    y = np.sin(2 * x[:, 0]) + 0.01 * rng.standard_normal(12)
+    data = HistoricalData(dim=1)
+    data.append_historical_data(x, y)
+
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, chain_length=80, burnin_steps=80, n_hypers=8, noisy=False,
+        rng_key=jax.random.PRNGKey(7))
+    ll.train()
+    assert ll.is_trained
+    states = ll.models
+    assert mcmc.ensemble_size(states) >= 4
+
+    from cornell_moe_tpu.models import gp as gp_mod
+    xt = jnp.asarray(np.linspace(-2, 2, 5)[:, None])
+    mus = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(states))
+    assert np.all(np.isfinite(mus))
+    # posterior mean averaged over ensemble should track the function
+    mean_pred = mus[:, :, 0].mean(0)
+    assert np.corrcoef(mean_pred, np.sin(2 * xt[:, 0]))[0, 1] > 0.9
+
+
+def test_map_optimize_end_to_end(rng):
+    x = rng.random((10, 1)) * 4 - 2
+    y = np.sin(2 * x[:, 0])
+    data = HistoricalData(dim=1)
+    data.append_historical_data(x, y)
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, noisy=False, rng_key=jax.random.PRNGKey(9))
+    ll.optimize(num_restarts=2)
+    assert ll.is_trained
+    assert mcmc.ensemble_size(ll.models) == 1
