@@ -1,0 +1,195 @@
+"""KG tests: fantasy-weight identity, nonnegativity, FD gradient ping,
+brute-force parity on a tiny case, MCMC averaging, fidelity cost."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
+from cornell_moe_tpu.acquisition.expected_improvement import (
+    draw_antithetic_normals)
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.models import gp, mcmc
+from cornell_moe_tpu.ops import optimizers
+from cornell_moe_tpu.ops.domains import TensorProductDomain
+from reference_impl import central_difference
+
+INNER = optimizers.GradientDescentParameters(
+    num_multistarts=1, max_num_steps=25, max_num_restarts=1,
+    gamma=0.7, pre_mult=0.5, max_relative_change=0.7)
+
+
+def _gp_1d(rng, n=8, noise=1e-3):
+    cov = cov_mod.make_covariance("matern_2.5", [1.0, 0.7])
+    x = np.sort(rng.random(n) * 4 - 2)[:, None]
+    y = np.sin(2 * x[:, 0])
+    return gp.fit_gp(cov, jnp.asarray([noise]), jnp.asarray(x),
+                     jnp.asarray(y)[:, None]), x, y
+
+
+def test_fantasy_model_reproduces_fantasy_gp(rng):
+    """mu'_z from the weight trick == posterior mean of a refit GP."""
+    state, x, y = _gp_1d(rng)
+    union = jnp.asarray([[0.3], [1.4]])
+    model = kg_mod._build_fantasy_model(state, union)
+    z = jnp.asarray(rng.standard_normal(2))
+
+    from cornell_moe_tpu.ops import linalg
+    beta = linalg.solve_triangular(model.chol_union, z, lower=True,
+                                   trans=True)
+    alpha = state.K_inv_y - model.v @ z
+    mu_fn = kg_mod._fantasy_mean_fn(state, model, alpha, beta, (), 0)
+
+    y_u = model.mu_union + model.chol_union @ z
+    fantasy = gp.add_sampled_points(state, union, y_u[:, None],
+                                    update_mean=False)
+    for xt in [-1.2, 0.05, 0.77, 1.9]:
+        fast = float(mu_fn(jnp.asarray([xt])))
+        slow = float(gp.posterior_mean(fantasy, jnp.asarray([[xt]]))[0, 0])
+        np.testing.assert_allclose(fast, slow, rtol=1e-7, atol=1e-9)
+
+
+def test_kg_nonnegative_and_finite(rng):
+    state, x, y = _gp_1d(rng)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 12)[:, None]
+    normals = draw_antithetic_normals(jax.random.PRNGKey(0), 64, 2)
+    val = float(kg_mod.knowledge_gradient(
+        state, jnp.asarray([[0.5], [-0.9]]), discrete, normals, dom,
+        INNER, float(y.min())))
+    assert np.isfinite(val)
+    assert val > -1e-6
+
+
+def test_kg_matches_bruteforce_discrete(rng):
+    """With GD disabled (0 steps), KG must equal the brute-force computation
+    over the discretized set done in plain numpy."""
+    state, x, y = _gp_1d(rng, n=6)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 30)[:, None]
+    union = jnp.asarray([[0.25], [-1.1]])
+    normals = draw_antithetic_normals(jax.random.PRNGKey(1), 16, 2)
+    inner0 = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=1, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.0)   # pre_mult=0: GD is a no-op
+    got = float(kg_mod.knowledge_gradient(
+        state, union, discrete, normals, dom, inner0, float(y.min())))
+
+    # numpy brute force
+    mu_u = np.asarray(gp.posterior_mean(state, union))[:, 0]
+    var_u = np.asarray(gp.posterior_variance(state, union))
+    c = np.linalg.cholesky(var_u + 1e-3 * np.eye(2))
+    best_post = min(y.min(), mu_u.min())
+    starts = np.concatenate([np.asarray(discrete),
+                             np.asarray(union)], axis=0)
+    total = 0.0
+    for z in np.asarray(normals):
+        y_u = mu_u + c @ z
+        fantasy = gp.add_sampled_points(state, union, jnp.asarray(
+            y_u)[:, None], update_mean=False)
+        mus = np.asarray(gp.posterior_mean(
+            fantasy, jnp.asarray(starts)))[:, 0]
+        total += best_post - mus.min()
+    np.testing.assert_allclose(got, total / len(normals), rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_kg_gradient_ping(rng):
+    state, x, y = _gp_1d(rng)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 10)[:, None]
+    normals = draw_antithetic_normals(jax.random.PRNGKey(2), 32, 2)
+    pts0 = np.array([[0.4], [-0.8]])
+
+    val, grad = kg_mod.knowledge_gradient_value_and_grad(
+        state, jnp.asarray(pts0), None, discrete, normals, dom, INNER,
+        float(y.min()))
+
+    def f(flat):
+        return float(kg_mod.knowledge_gradient(
+            state, jnp.asarray(flat.reshape(2, 1)), discrete, normals,
+            dom, INNER, float(y.min())))
+
+    fd = central_difference(f, pts0.reshape(-1), eps=3e-5).reshape(2, 1)
+    # envelope-theorem gradient: FD includes tiny argmin-shift terms, so
+    # tolerances are loose-ish but tight enough to catch sign/scale bugs
+    np.testing.assert_allclose(np.asarray(grad), fd, rtol=2e-2, atol=2e-4)
+    assert float(val) >= 0.0
+
+
+def test_kg_prefers_informative_points(rng):
+    """KG at an unexplored region should beat KG at an already-sampled
+    point."""
+    state, x, y = _gp_1d(rng, n=10)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 20)[:, None]
+    normals = draw_antithetic_normals(jax.random.PRNGKey(3), 128, 1)
+    gap = float(x[np.argmax(np.diff(x[:, 0]))][0] +
+                np.max(np.diff(x[:, 0])) / 2)
+    kg_new = float(kg_mod.knowledge_gradient(
+        state, jnp.asarray([[gap]]), discrete, normals, dom, INNER,
+        float(y.min())))
+    kg_old = float(kg_mod.knowledge_gradient(
+        state, jnp.asarray(x[:1]), discrete, normals, dom, INNER,
+        float(y.min())))
+    assert kg_new > kg_old
+
+
+def test_compute_optimal_posterior_mean(rng):
+    state, x, y = _gp_1d(rng, n=14, noise=1e-6)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    guesses = jnp.linspace(-2, 2, 50)[:, None]
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=60, max_num_restarts=2,
+        gamma=0.7, pre_mult=0.3)
+    pt, neg_mu = kg_mod.compute_optimal_posterior_mean(
+        state, dom, guesses, params)
+    # true minimum of sin(2x) on [-2,2] near x = -pi/4 (or 3pi/4 ~ 2.36>2)
+    assert abs(float(pt[0]) - (-np.pi / 4)) < 0.1
+    assert float(neg_mu) > 0.9   # -mu ~ 1
+
+
+def test_fidelity_cost_and_pinning():
+    union = jnp.asarray([[0.5, 0.2, 0.8], [0.1, 0.9, 0.5]])
+    c = float(kg_mod.fidelity_cost(union, 2, 1))
+    np.testing.assert_allclose(c, 0.8)          # max(0.8, 0.5)
+    c2 = float(kg_mod.fidelity_cost(union, 2, 2))
+    np.testing.assert_allclose(c2, max(0.2 * 0.8, 0.9 * 0.5))
+    c0 = float(kg_mod.fidelity_cost(union, 2, 0))
+    assert c0 == 1.0
+    x = kg_mod._pin_fidelity(jnp.asarray([0.3]), 3, 2)
+    np.testing.assert_allclose(np.asarray(x), [0.3, 1.0, 1.0])
+
+
+def test_kg_mcmc_averaging(rng):
+    state_a, x, y = _gp_1d(rng)
+    hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])
+    noises = np.full((2, 1), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None])
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.tile(jnp.linspace(-2, 2, 8)[None, :, None], (2, 1, 1))
+    union = jnp.asarray([[0.6]])
+    normals = draw_antithetic_normals(jax.random.PRNGKey(4), 32, 1)
+    bsf = jnp.asarray([float(y.min()), float(y.min())])
+    avg = float(kg_mod.knowledge_gradient_mcmc(
+        states, union, discrete, normals, dom, INNER, bsf, 1))
+    # equals the mean of the member KGs (cost = 1)
+    singles = [float(kg_mod.knowledge_gradient(
+        mcmc.ensemble_member(states, i), union, discrete[i], normals, dom,
+        INNER, float(y.min()))) for i in range(2)]
+    np.testing.assert_allclose(avg, np.mean(singles), rtol=1e-8)
+
+
+def test_multistart_kg_optimization_runs(rng):
+    state, x, y = _gp_1d(rng, n=6)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 6)[:, None]
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=3, max_num_steps=8, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.4)
+    pts = kg_mod.multistart_knowledge_gradient_optimization(
+        jax.random.PRNGKey(5), state, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16)
+    assert pts.shape == (2, 1)
+    assert bool(jnp.all(dom.check_point_inside(pts)))
