@@ -190,6 +190,61 @@ def evaluate_expected_improvement_at_point_list(
 
 
 # ---------------------------------------------------------------------------
+# MCMC-averaged EI (ExpectedImprovementMCMC counterpart)
+# ---------------------------------------------------------------------------
+
+def monte_carlo_expected_improvement_mcmc(states, points_to_sample,
+                                          points_being_sampled,
+                                          best_so_far, normals
+                                          ) -> jax.Array:
+    """Mean EI over a stacked hyperparameter ensemble.
+
+    Counterpart of ExpectedImprovementMCMCEvaluator
+    (gpp_expected_improvement_mcmc_optimization.hpp:151): the objective is
+    the average of the per-sample EI values.  ``best_so_far`` may be a
+    scalar or (S,).
+    """
+    best = jnp.broadcast_to(jnp.asarray(best_so_far),
+                            (states.points_sampled.shape[0],))
+
+    def one(s, b):
+        return monte_carlo_expected_improvement(
+            s, points_to_sample, points_being_sampled, b, normals)
+
+    return jnp.mean(jax.vmap(one)(states, best))
+
+
+def multistart_expected_improvement_mcmc_optimization(
+        key: jax.Array, states, domain, num_to_sample: int,
+        params: optimizers.GradientDescentParameters,
+        points_being_sampled=None, best_so_far=None,
+        num_mc_iterations: int = 1000) -> jax.Array:
+    """Suggest q points maximizing ensemble-averaged q,p-EI
+    (cpp_wrappers/expected_improvement_mcmc.py:21)."""
+    from cornell_moe_tpu.ops.domains import RepeatedDomain
+    if best_so_far is None:
+        best_so_far = jax.vmap(lambda s: s.best_observed_value)(states)
+    p = 0 if points_being_sampled is None else \
+        jnp.atleast_2d(points_being_sampled).shape[0]
+
+    rep = RepeatedDomain(domain=domain, num_repeats=num_to_sample)
+    key_start, key_mc = jax.random.split(key)
+    starts = rep.generate_latin_hypercube_points(key_start,
+                                                params.num_multistarts)
+    normals = draw_normals(key_mc, num_mc_iterations, num_to_sample + p,
+                           dtype=states.points_sampled.dtype)
+
+    def vg(pts):
+        return jax.value_and_grad(
+            lambda q_pts: monte_carlo_expected_improvement_mcmc(
+                states, q_pts, points_being_sampled, best_so_far,
+                normals))(pts)
+
+    res = optimizers.multistart_optimize(vg, rep, starts, params)
+    return res.best_point
+
+
+# ---------------------------------------------------------------------------
 # Heuristic batch policies (ConstantLiar / KrigingBeliever)
 # ---------------------------------------------------------------------------
 

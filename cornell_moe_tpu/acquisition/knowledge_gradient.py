@@ -115,10 +115,17 @@ def _build_fantasy_model(state: GaussianProcessState, union: jax.Array,
                          ) -> _FantasyModel:
     ds = tuple(int(i) for i in derivatives_to_sample)
     mu_u = gp_mod.posterior_mean(state, union, ds).reshape(-1)
-    var_u = gp_mod.posterior_variance(state, union, ds)
+    var_u = linalg.symmetrize(gp_mod.posterior_variance(state, union, ds))
     q = union.shape[0]
     noise = jnp.tile(state.noise_variance[:1 + len(ds)], q)
-    chol_u = linalg.cholesky(var_u + jnp.diag(noise))
+    # Low-precision guard: at large num_sampled the f32 posterior variance
+    # carries cancellation error that can push diagonal entries slightly
+    # negative; repair with a stop-gradient diagonal shift so the Cholesky
+    # (reference adds observation noise only, gpp_kg_opt.cpp:303-309)
+    # stays finite.  Exactly zero in well-conditioned/f64 settings.
+    min_diag = jnp.min(jnp.diagonal(var_u))
+    repair = lax.stop_gradient(jnp.maximum(0.0, -1.5 * min_diag))
+    chol_u = linalg.cholesky(var_u + jnp.diag(noise + repair))
 
     k_xu = cov_mod.build_block_covariance(
         state.covariance, state.points_sampled, state.derivatives, union, ds)
@@ -275,7 +282,8 @@ def multistart_knowledge_gradient_optimization(
         discrete_pts: jax.Array, points_being_sampled=None,
         best_so_far=None, num_mc_iterations: int = 128,
         num_fidelity: int = 0,
-        derivatives_to_sample: Sequence[int] = ()) -> jax.Array:
+        derivatives_to_sample: Sequence[int] = (),
+        chunk_size=None) -> jax.Array:
     """Suggest q points maximizing KG (ComputeKGOptimalPointsToSample).
 
     Returns (num_to_sample, dim).
@@ -305,7 +313,8 @@ def multistart_knowledge_gradient_optimization(
             state, pts, points_being_sampled, discrete_pts, normals,
             inner_domain, inner_params, best_so_far, num_fidelity, ds)
 
-    res = optimizers.multistart_optimize(vg, rep, starts, params)
+    res = optimizers.multistart_optimize(vg, rep, starts, params,
+                                         chunk_size=chunk_size)
     return res.best_point
 
 
@@ -317,7 +326,8 @@ def multistart_knowledge_gradient_mcmc_optimization(
         discrete_pts: jax.Array, points_being_sampled=None,
         best_so_far=None, num_mc_iterations: int = 128,
         num_fidelity: int = 0,
-        derivatives_to_sample: Sequence[int] = ()) -> jax.Array:
+        derivatives_to_sample: Sequence[int] = (),
+        chunk_size=None) -> jax.Array:
     """MCMC-averaged q-KG suggestion over a stacked ensemble.
 
     Counterpart of multistart_knowledge_gradient_mcmc_optimization
@@ -357,7 +367,8 @@ def multistart_knowledge_gradient_mcmc_optimization(
             inner_params, best_so_far, num_to_sample, num_fidelity, ds)
 
     vg = jax.value_and_grad(f)
-    res = optimizers.multistart_optimize(vg, rep, starts, params)
+    res = optimizers.multistart_optimize(vg, rep, starts, params,
+                                         chunk_size=chunk_size)
     return res.best_point
 
 

@@ -1,0 +1,294 @@
+"""High-level Bayesian-optimization driver.
+
+Counterpart of ``examples/bayesian_optimization.py`` + ``examples/main.py``
+in the reference: MCMC train -> (q-KG | q-EI) suggest -> evaluate ->
+retrain -> recommend (argmin posterior mean), with the reference's KG
+discretization-seeding protocol (qEI picks + per-model posterior-mean
+argmin, examples/main.py:170-200) and continuous-fidelity capital
+accounting.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cornell_moe_tpu.acquisition import expected_improvement as ei_mod
+from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
+from cornell_moe_tpu.models import gp as gp_mod
+from cornell_moe_tpu.models import mcmc as mcmc_mod
+from cornell_moe_tpu.ops import optimizers
+from cornell_moe_tpu.ops.domains import TensorProductDomain
+from cornell_moe_tpu.utils.data_containers import (HistoricalData,
+                                                   SamplePoint)
+
+# The reference driver's optimizer parameter packs (examples/main.py:117-140)
+DEFAULT_SGD_PARAMS_KG = optimizers.GradientDescentParameters(
+    num_multistarts=200, max_num_steps=50, max_num_restarts=2,
+    num_steps_averaged=4, gamma=0.7, pre_mult=1.0,
+    max_relative_change=0.5, tolerance=1.0e-10)
+DEFAULT_SGD_PARAMS_PS = optimizers.GradientDescentParameters(
+    num_multistarts=1, max_num_steps=6, max_num_restarts=1,
+    num_steps_averaged=3, gamma=0.0, pre_mult=1.0,
+    max_relative_change=0.1, tolerance=1.0e-10)
+DEFAULT_SGD_PARAMS_RECOMMEND = optimizers.GradientDescentParameters(
+    num_multistarts=1, max_num_steps=1000, max_num_restarts=3,
+    num_steps_averaged=15, gamma=0.7, pre_mult=1.0,
+    max_relative_change=0.02, tolerance=1.0e-10)
+
+
+def gen_sample_from_qei(key, state, domain, params, num_to_sample,
+                        num_mc=2**10):
+    """q-EI suggestion from a single GP (bayesian_optimization.py:13)."""
+    pts = ei_mod.multistart_expected_improvement_optimization(
+        key, state, domain, num_to_sample, params,
+        num_mc_iterations=num_mc)
+    key_eval = jax.random.fold_in(key, 1)
+    voi = ei_mod.evaluate_expected_improvement_at_point_list(
+        state, pts[None], key=key_eval, num_mc_iterations=num_mc)[0]
+    return pts, float(voi)
+
+
+def gen_sample_from_qei_mcmc(key, states, domain, params, num_to_sample,
+                             num_mc=2**10):
+    """Ensemble-averaged q-EI suggestion (bayesian_optimization.py:37)."""
+    pts = ei_mod.multistart_expected_improvement_mcmc_optimization(
+        key, states, domain, num_to_sample, params,
+        num_mc_iterations=num_mc)
+    normals = ei_mod.draw_normals(jax.random.fold_in(key, 1), num_mc,
+                                  num_to_sample,
+                                  dtype=states.points_sampled.dtype)
+    voi = ei_mod.monte_carlo_expected_improvement_mcmc(
+        states, pts, None, jax.vmap(
+            lambda s: s.best_observed_value)(states), normals)
+    return pts, float(voi)
+
+
+def seed_kg_discretization(key, states, domain,
+                           qei_params=None, ps_params=DEFAULT_SGD_PARAMS_PS,
+                           num_qei_pts: int = 10, num_eval_pts: int = 1000,
+                           num_fidelity: int = 0, num_mc=2**10):
+    """Build per-model inner-optimization seeds for KG.
+
+    Mirrors examples/main.py:170-200: 10 points from ensemble q-EI, plus
+    each model's posterior-mean argmin (uniform eval points + sampled
+    points, GD-polished).  Returns (S, num_qei_pts + 1, dim_opt).
+    """
+    if qei_params is None:
+        qei_params = DEFAULT_SGD_PARAMS_KG
+    k_ei, k_eval = jax.random.split(key)
+    discrete, _ = gen_sample_from_qei_mcmc(k_ei, states, domain,
+                                           qei_params, num_qei_pts,
+                                           num_mc=num_mc)
+    dim = states.points_sampled.shape[-1]
+    dim_opt = dim - num_fidelity
+    inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
+    eval_pts = inner_domain.generate_uniform_random_points_in_domain(
+        k_eval, num_eval_pts)
+
+    def per_model(s):
+        guesses = jnp.concatenate(
+            [eval_pts, s.points_sampled[:, :dim_opt]], axis=0)
+        pt, _ = kg_mod.compute_optimal_posterior_mean(
+            s, inner_domain, guesses, ps_params, num_fidelity)
+        return jnp.concatenate([discrete[:, :dim_opt], pt[None]], axis=0)
+
+    return jax.vmap(per_model)(states)
+
+
+def best_so_far_from_discretization(states, discrete_pts,
+                                    num_fidelity: int = 0):
+    """Per-model min posterior mean over its discretization
+    (cpp_wrappers/knowledge_gradient_mcmc.py:387-393)."""
+    def per_model(s, pts):
+        mus = jax.vmap(lambda p: -kg_mod.posterior_mean_objective(
+            s, p, num_fidelity))(pts)
+        return jnp.min(mus)
+    return jax.vmap(per_model)(states, discrete_pts)
+
+
+def gen_sample_from_qkg_mcmc(key, states, domain, discrete_pts,
+                             params=None, inner_params=DEFAULT_SGD_PARAMS_PS,
+                             num_to_sample: int = 1, num_mc=2**7,
+                             num_fidelity: int = 0):
+    """Ensemble-averaged q-KG suggestion (bayesian_optimization.py:60)."""
+    if params is None:
+        params = DEFAULT_SGD_PARAMS_KG
+    best_so_far = best_so_far_from_discretization(states, discrete_pts,
+                                                  num_fidelity)
+    pts = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, domain, num_to_sample, params, inner_params,
+        discrete_pts, best_so_far=best_so_far,
+        num_mc_iterations=num_mc, num_fidelity=num_fidelity)
+    normals = ei_mod.draw_antithetic_normals(
+        jax.random.fold_in(key, 1), num_mc, num_to_sample,
+        dtype=states.points_sampled.dtype)
+    dim_opt = states.points_sampled.shape[-1] - num_fidelity
+    inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
+    voi = kg_mod.knowledge_gradient_mcmc(
+        states, pts, discrete_pts, normals, inner_domain, inner_params,
+        best_so_far, num_to_sample, num_fidelity)
+    return pts, float(voi)
+
+
+@dataclass
+class BayesianOptimizer:
+    """The full suggest/observe/recommend loop (examples/main.py driver).
+
+    ``method`` is 'KG' or 'EI'.  All heavy steps are jitted device
+    programs; this class only sequences them and owns the HistoricalData.
+    """
+
+    objective_func: object = None
+    method: str = "KG"
+    num_to_sample: int = 1
+    num_mc: Optional[int] = None
+    n_hypers: int = 16
+    chain_length: int = 1000
+    burnin_steps: int = 2000
+    noisy: bool = False
+    kernel_name: str = "matern_2.5"
+    sgd_params: optimizers.GradientDescentParameters = \
+        DEFAULT_SGD_PARAMS_KG
+    inner_sgd_params: optimizers.GradientDescentParameters = \
+        DEFAULT_SGD_PARAMS_PS
+    seed: int = 0
+    verbose: bool = True
+
+    def __post_init__(self):
+        f = self.objective_func
+        self.dim = f._dim
+        self.num_fidelity = f._num_fidelity
+        self.derivatives = tuple(f._observations)
+        self.domain = TensorProductDomain.from_bounds(f._search_domain)
+        self.num_mc = self.num_mc or (2**7 if self.method == "KG"
+                                      else 2**10)
+        self._key = jax.random.PRNGKey(self.seed)
+        self.capital_so_far = 0.0
+        self.history = []
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _log(self, msg):
+        if self.verbose:
+            print(msg, flush=True)
+
+    # -- phases -----------------------------------------------------------
+    def initialize(self, num_init_pts: Optional[int] = None):
+        f = self.objective_func
+        n = num_init_pts or f._num_init_pts
+        pts = np.asarray(
+            self.domain.generate_latin_hypercube_points(self._next_key(),
+                                                        n))
+        data = HistoricalData(self.dim, len(self.derivatives))
+        obs_idx = [0] + [1 + i for i in self.derivatives]
+        for pt in pts:
+            val = f.evaluate(pt)[obs_idx]
+            data.append_sample_points(
+                [SamplePoint(pt, val, f._sample_var)])
+        self.model = mcmc_mod.GaussianProcessLogLikelihoodMCMC(
+            data, derivatives=self.derivatives, chain_length=
+            self.chain_length, burnin_steps=self.burnin_steps,
+            n_hypers=self.n_hypers, noisy=self.noisy,
+            kernel_name=self.kernel_name, rng_key=self._next_key())
+        t0 = time.time()
+        self.model.train()
+        self._log(f"initial training took {time.time() - t0:.2f}s on "
+                  f"{n} points")
+        return data
+
+    def suggest(self):
+        t0 = time.time()
+        states = self.model.models
+        if self.method == "KG":
+            discrete = seed_kg_discretization(
+                self._next_key(), states, self.domain,
+                qei_params=self.sgd_params,
+                ps_params=self.inner_sgd_params,
+                num_fidelity=self.num_fidelity)
+            pts, voi = gen_sample_from_qkg_mcmc(
+                self._next_key(), states, self.domain, discrete,
+                params=self.sgd_params,
+                inner_params=self.inner_sgd_params,
+                num_to_sample=self.num_to_sample, num_mc=self.num_mc,
+                num_fidelity=self.num_fidelity)
+        elif self.method == "EI":
+            member = mcmc_mod.ensemble_member(states, 0)
+            pts, voi = gen_sample_from_qei(
+                self._next_key(), member, self.domain, self.sgd_params,
+                self.num_to_sample, num_mc=self.num_mc)
+        else:
+            raise ValueError(f"method {self.method} not supported")
+        self._log(f"{self.method} suggest took {time.time() - t0:.2f}s, "
+                  f"VOI {voi:.6f}")
+        return np.asarray(pts), voi
+
+    def observe(self, points):
+        f = self.objective_func
+        obs_idx = [0] + [1 + i for i in self.derivatives]
+        sampled = [SamplePoint(pt, f.evaluate(pt)[obs_idx],
+                               f._sample_var) for pt in np.atleast_2d(points)]
+        if self.num_fidelity > 0:
+            capitals = np.prod(
+                np.atleast_2d(points)[:, self.dim - self.num_fidelity:],
+                axis=1)
+            self.capital_so_far += float(np.max(capitals))
+        t0 = time.time()
+        self.model.add_sampled_points(sampled)
+        self.model.train()
+        self._log(f"retraining took {time.time() - t0:.2f}s")
+        return sampled
+
+    def recommend(self, num_eval_pts: int = 10000):
+        """Argmin of the ensemble posterior mean (examples/main.py:243)."""
+        t0 = time.time()
+        states = self.model.models
+        dim_opt = self.dim - self.num_fidelity
+        inner_domain = TensorProductDomain(
+            bounds=self.domain.bounds[:dim_opt])
+        eval_pts = inner_domain.generate_uniform_random_points_in_domain(
+            self._next_key(), num_eval_pts)
+        sampled = jnp.asarray(
+            self.model._data.points_sampled[:, :dim_opt])
+        guesses = jnp.concatenate([eval_pts, sampled], axis=0)
+
+        def ensemble_neg_mean(x):
+            return jnp.mean(jax.vmap(
+                lambda s: kg_mod.posterior_mean_objective(
+                    s, x, self.num_fidelity))(states))
+
+        vals = jax.vmap(ensemble_neg_mean)(guesses)
+        x0 = guesses[jnp.argmax(vals)]
+        vg = jax.value_and_grad(ensemble_neg_mean)
+        x = optimizers.gradient_ascent(vg, inner_domain, x0,
+                                       DEFAULT_SGD_PARAMS_RECOMMEND)
+        x = jnp.where(ensemble_neg_mean(x) > vals.max(), x, x0)
+        report = np.concatenate([np.asarray(x),
+                                 np.ones(self.num_fidelity)])
+        self._log(f"recommendation took {time.time() - t0:.2f}s")
+        return report
+
+    # -- the full loop ----------------------------------------------------
+    def run(self, num_iterations: int, num_init_pts: Optional[int] = None):
+        self.initialize(num_init_pts)
+        for it in range(num_iterations):
+            self._log(f"--- iteration {it} ({self.method}, "
+                      f"q={self.num_to_sample}) ---")
+            pts, voi = self.suggest()
+            self.observe(pts)
+            report = self.recommend()
+            true_val = float(self.objective_func.evaluate_true(report)[0])
+            self._log(f"recommended point {report}, true value "
+                      f"{true_val:.6f}")
+            self.history.append({
+                "iteration": it, "voi": voi, "suggested": pts,
+                "recommended": report, "true_value": true_val,
+                "capital": self.capital_so_far})
+        return self.history

@@ -99,21 +99,36 @@ def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
 def multistart_optimize(value_and_grad_fn: Callable, domain,
                         initial_points: jax.Array,
                         params: GradientDescentParameters,
-                        value_fn: Optional[Callable] = None
+                        value_fn: Optional[Callable] = None,
+                        chunk_size: Optional[int] = None
                         ) -> MultistartResult:
     """vmapped multistart GD with argmax reduction.
 
     Counterpart of MultistartOptimizer::MultistartOptimize
     (gpp_optimization.hpp:1452-1564).  NaN objective values lose the argmax
     (the reference captures per-thread exceptions and keeps going).
+
+    ``chunk_size``: when set (and dividing num_starts), restarts run in
+    sequential chunks of that width via lax.map — same results, bounded
+    peak memory for very wide multistarts over expensive objectives.
     """
     if value_fn is None:
         def value_fn(x):
             return value_and_grad_fn(x)[0]
 
-    final_points = jax.vmap(
-        lambda x0: gradient_ascent(value_and_grad_fn, domain, x0, params)
-    )(initial_points)
+    def run_batch(starts):
+        return jax.vmap(
+            lambda x0: gradient_ascent(value_and_grad_fn, domain, x0,
+                                       params))(starts)
+
+    n = initial_points.shape[0]
+    if chunk_size and n % chunk_size == 0 and n > chunk_size:
+        chunked = initial_points.reshape(
+            (n // chunk_size, chunk_size) + initial_points.shape[1:])
+        final_points = jax.lax.map(run_batch, chunked).reshape(
+            initial_points.shape)
+    else:
+        final_points = run_batch(initial_points)
     values = jax.vmap(value_fn)(final_points)
     safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
     best = jnp.argmax(safe_values)

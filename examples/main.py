@@ -1,0 +1,51 @@
+"""Experiment driver CLI.
+
+Counterpart of ``examples/main.py`` in the reference:
+
+    python examples/main.py <obj_func_name> <method KG|EI> <num_to_sample>
+                            <job_id> [HeSBO] [effective_dim]
+
+e.g.  python examples/main.py Branin KG 4 1
+      python examples/main.py Hartmann6 KG 2 1 HeSBO 3
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+from cornell_moe_tpu.bayes_opt import BayesianOptimizer  # noqa: E402
+from cornell_moe_tpu.utils import hesbo  # noqa: E402
+from cornell_moe_tpu.utils.synthetic_functions import (  # noqa: E402
+    SYNTHETIC_FUNCTIONS)
+
+
+def main(argv):
+    if len(argv) < 5:
+        print(__doc__)
+        return 1
+    obj_func_name, method = argv[1], argv[2]
+    num_to_sample, job_id = int(argv[3]), int(argv[4])
+
+    objective_func = SYNTHETIC_FUNCTIONS[obj_func_name]()
+    if len(argv) > 5 and argv[5] == "HeSBO":
+        effective_dim = int(argv[6]) if len(argv) > 6 else 2
+        objective_func = hesbo.Projection(effective_dim, objective_func,
+                                          seed=job_id)
+
+    num_iterations = int(argv[7]) if len(argv) > 7 else 10
+
+    bo = BayesianOptimizer(
+        objective_func=objective_func, method=method,
+        num_to_sample=num_to_sample, noisy=objective_func._sample_var > 0,
+        seed=job_id)
+    history = bo.run(num_iterations)
+    best = min(h["true_value"] for h in history)
+    print(f"final best recommended value: {best:.6f} "
+          f"(true minimum {objective_func._min_value})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -1,0 +1,102 @@
+"""Sharding tests on the 8-virtual-device CPU mesh.
+
+The reference's analogous test asserts single-thread and multi-thread
+multistart produce identical results (MultithreadedEIOptimizationTest,
+gpp_math_test.cpp:1850-1864); here we assert single-device vs 8-device
+mesh equivalence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cornell_moe_tpu.ops import optimizers
+from cornell_moe_tpu.ops.domains import TensorProductDomain
+from cornell_moe_tpu.parallel import sharding as shard_mod
+
+
+def _quad_vg(target):
+    def vg(x):
+        return -jnp.sum((x - target) ** 2), -2.0 * (x - target)
+    return vg
+
+
+def test_sharded_multistart_matches_single_device():
+    assert len(jax.devices()) >= 8
+    mesh = shard_mod.default_mesh(8)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0], [-2.0, 2.0]])
+    target = jnp.asarray([0.3, -0.7])
+    vg = _quad_vg(target)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=16, max_num_steps=80, max_num_restarts=2,
+        gamma=0.6, pre_mult=0.4)
+    starts = dom.generate_latin_hypercube_points(jax.random.PRNGKey(0), 16)
+
+    single = optimizers.multistart_optimize(vg, dom, starts, params)
+    sharded = shard_mod.sharded_multistart_optimize(vg, dom, starts,
+                                                    params, mesh)
+    np.testing.assert_allclose(np.asarray(sharded.best_point),
+                               np.asarray(single.best_point), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.all_values),
+                               np.asarray(single.all_values), rtol=1e-12)
+
+
+def test_sharded_multistart_with_padding():
+    """num_starts not divisible by mesh size -> edge-padded, same best."""
+    mesh = shard_mod.default_mesh(8)
+    dom = TensorProductDomain.from_bounds([[-1.0, 1.0]])
+    vg = _quad_vg(jnp.asarray([0.5]))
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=13, max_num_steps=50, max_num_restarts=1,
+        gamma=0.6, pre_mult=0.4)
+    starts = dom.generate_latin_hypercube_points(jax.random.PRNGKey(1), 13)
+    single = optimizers.multistart_optimize(vg, dom, starts, params)
+    sharded = shard_mod.sharded_multistart_optimize(vg, dom, starts,
+                                                    params, mesh)
+    assert sharded.all_points.shape == (13, 1)
+    np.testing.assert_allclose(np.asarray(sharded.best_value),
+                               np.asarray(single.best_value), rtol=1e-12)
+
+
+def test_sharded_point_evaluation():
+    mesh = shard_mod.default_mesh(8)
+    pts = jnp.linspace(-1, 1, 37)[:, None]
+
+    def f(x):
+        return -jnp.sum(x**2)
+
+    got = shard_mod.sharded_point_evaluation(f, pts, mesh)
+    expected = jax.vmap(f)(pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-12)
+
+
+def test_chunked_multistart_matches_unchunked():
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    vg = _quad_vg(jnp.asarray([1.1]))
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=12, max_num_steps=40, max_num_restarts=1,
+        gamma=0.6, pre_mult=0.4)
+    starts = dom.generate_latin_hypercube_points(jax.random.PRNGKey(2), 12)
+    a = optimizers.multistart_optimize(vg, dom, starts, params)
+    b = optimizers.multistart_optimize(vg, dom, starts, params,
+                                       chunk_size=4)
+    np.testing.assert_allclose(np.asarray(a.all_points),
+                               np.asarray(b.all_points), rtol=1e-12)
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    val, grad = jax.jit(fn)(*args)
+    assert np.isfinite(float(val))
+    assert grad.shape == args[0].shape
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
