@@ -85,6 +85,18 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
     if y.ndim == 1:
         y = y[:, None]
     noise = jnp.asarray(noise_variance, x.dtype).reshape(-1)
+    if covariance.dim != x.shape[-1]:
+        raise ValueError(
+            f"covariance has {covariance.dim} length scales but points "
+            f"have dim {x.shape[-1]}")
+    if noise.shape[0] != 1 + len(derivatives):
+        raise ValueError(
+            f"noise_variance has {noise.shape[0]} channels, expected "
+            f"{1 + len(derivatives)} (value + derivative observations)")
+    if y.shape[-1] != 1 + len(derivatives):
+        raise ValueError(
+            f"values have {y.shape[-1]} channels, expected "
+            f"{1 + len(derivatives)}")
 
     k = cov_mod.build_covariance_matrix_with_noise(
         covariance, x, derivatives, noise)
