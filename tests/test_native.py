@@ -1,0 +1,118 @@
+"""Cross-validate the JAX path against the independent native C++ oracle.
+
+Mirrors the reference's C++-vs-Python equivalence strategy (SURVEY.md
+section 4, expected_improvement_test.py:62 pattern), with roles inverted:
+the C++ library is the trusted slow path here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cornell_moe_tpu import native
+from cornell_moe_tpu.acquisition import expected_improvement as ei_mod
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.models import gp, likelihood as lik_mod
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+KERNELS = ["square_exponential", "matern_2.5"]
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_block_covariance_matches_jax(kernel, rng):
+    dim = 3
+    hypers = np.concatenate([[1.4], 0.5 + rng.random(dim)])
+    x1 = rng.standard_normal((4, dim))
+    x2 = rng.standard_normal((6, dim))
+    derivs = (0, 2)
+    cov = cov_mod.make_covariance(kernel, hypers)
+    jax_block = np.asarray(cov_mod.build_block_covariance(
+        cov, jnp.asarray(x1), derivs, jnp.asarray(x2), derivs))
+    native_block = native.build_block_covariance(kernel, hypers, x1,
+                                                 derivs, x2, derivs)
+    np.testing.assert_allclose(jax_block, native_block, rtol=1e-12,
+                               atol=1e-14)
+
+
+def test_cholesky_matches_numpy(rng):
+    a = rng.standard_normal((7, 7))
+    spd = a @ a.T + 7 * np.eye(7)
+    chol = native.cholesky(spd)
+    np.testing.assert_allclose(chol, np.linalg.cholesky(spd), rtol=1e-10)
+
+    from cornell_moe_tpu.exceptions import SingularMatrixError
+    with pytest.raises(SingularMatrixError):
+        native.cholesky(np.ones((3, 3)))   # rank-1, singular
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_gp_posterior_matches_jax(kernel, rng):
+    dim, n, q = 2, 10, 4
+    hypers = np.concatenate([[1.1], 0.6 + rng.random(dim)])
+    x = rng.standard_normal((n, dim))
+    y = np.sin(x.sum(axis=1))[:, None]
+    noise = np.array([1e-3])
+    xs = rng.standard_normal((q, dim))
+
+    state = gp.fit_gp(cov_mod.make_covariance(kernel, hypers),
+                      jnp.asarray(noise), jnp.asarray(x), jnp.asarray(y))
+    mu_jax = np.asarray(gp.posterior_mean(state, jnp.asarray(xs)))[:, 0]
+    var_jax = np.asarray(gp.posterior_variance(state, jnp.asarray(xs)))
+
+    mu_nat, var_nat = native.gp_posterior(kernel, hypers, x, (), noise, y,
+                                          xs)
+    np.testing.assert_allclose(mu_jax, mu_nat, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(var_jax, var_nat, rtol=1e-9, atol=1e-12)
+
+
+def test_gp_posterior_with_derivatives_matches_jax(rng):
+    dim, n = 2, 6
+    derivs = (0, 1)
+    hypers = np.array([1.0, 0.9, 1.1])
+    x = rng.standard_normal((n, dim))
+    y = np.hstack([np.sin(x.sum(1))[:, None], np.cos(x)])
+    noise = np.array([1e-3, 1e-3, 1e-3])
+    xs = rng.standard_normal((3, dim))
+
+    state = gp.fit_gp(cov_mod.make_covariance("matern_2.5", hypers),
+                      jnp.asarray(noise), jnp.asarray(x), jnp.asarray(y),
+                      derivatives=derivs)
+    mu_jax = np.asarray(gp.posterior_mean(state, jnp.asarray(xs)))[:, 0]
+    mu_nat, var_nat = native.gp_posterior("matern_2.5", hypers, x, derivs,
+                                          noise, y, xs)
+    np.testing.assert_allclose(mu_jax, mu_nat, rtol=1e-9, atol=1e-11)
+    var_jax = np.asarray(gp.posterior_variance(state, jnp.asarray(xs)))
+    np.testing.assert_allclose(var_jax, var_nat, rtol=1e-8, atol=1e-11)
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_lml_matches_jax(kernel, rng):
+    dim, n = 2, 8
+    hypers = np.concatenate([[1.2], 0.7 + rng.random(dim)])
+    x = rng.standard_normal((n, dim))
+    y = np.cos(x.sum(axis=1))[:, None]
+    noise = np.array([1e-2])
+    jax_lml = float(lik_mod.log_marginal_likelihood(
+        cov_mod.make_covariance(kernel, hypers), jnp.asarray(noise),
+        jnp.asarray(x), jnp.asarray(y)))
+    nat_lml = native.log_marginal_likelihood(kernel, hypers, x, (), noise,
+                                             y)
+    np.testing.assert_allclose(jax_lml, nat_lml, rtol=1e-11)
+
+
+def test_analytic_ei_matches_jax(rng):
+    for _ in range(5):
+        mu = rng.standard_normal()
+        var = 0.1 + rng.random()
+        best = rng.standard_normal()
+        nat = native.analytic_expected_improvement(mu, var, best)
+        # closed form via the JAX implementation on a trivial 1-pt GP is
+        # overkill; compare against scipy directly
+        import scipy.stats
+        sigma = np.sqrt(var)
+        u = (best - mu) / sigma
+        expected = sigma * (u * scipy.stats.norm.cdf(u)
+                            + scipy.stats.norm.pdf(u))
+        np.testing.assert_allclose(nat, expected, rtol=1e-12)
