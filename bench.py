@@ -93,13 +93,12 @@ def main():
         jax.random.PRNGKey(1), outer_params.num_multistarts).astype(dtype)
 
     def suggest(starts):
-        def f(pts):
-            return kg_mod.knowledge_gradient_mcmc(
-                states, pts, discrete, normals, domain, inner_params,
-                best_so_far, q)
-        vg = jax.value_and_grad(f)
-        res = optimizers.multistart_optimize(vg, rep, starts, outer_params,
-                                             chunk_size=25)
+        def bvg(pts_batch):
+            return kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+                states, pts_batch, discrete, normals, domain,
+                inner_params, best_so_far, q)
+        res = optimizers.multistart_optimize_batched(
+            bvg, rep, starts, outer_params, chunk_size=25)
         return res.best_point, res.best_value
 
     suggest_jit = jax.jit(suggest)

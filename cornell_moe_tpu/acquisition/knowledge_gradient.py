@@ -129,7 +129,11 @@ def _build_fantasy_model(state: GaussianProcessState, union: jax.Array,
 
     k_xu = cov_mod.build_block_covariance(
         state.covariance, state.points_sampled, state.derivatives, union, ds)
-    w = linalg.cho_solve(state.chol_K, k_xu)            # (N, q_ch)
+    if state.inv_chol_K is not None:
+        w = linalg.cho_solve_with_refinement(state.chol_K,
+                                             state.inv_chol_K, k_xu)
+    else:
+        w = linalg.cho_solve(state.chol_K, k_xu)        # (N, q_ch)
     v = linalg.solve_triangular(chol_u, w.T, lower=True).T
     return _FantasyModel(mu_union=mu_u, chol_union=chol_u, v=v, union=union)
 
@@ -180,10 +184,29 @@ def knowledge_gradient(state: GaussianProcessState, union: jax.Array,
 
     frozen = lax.stop_gradient(model)
 
-    def per_draw(z):
-        beta = linalg.solve_triangular(model.chol_union, z, lower=True,
-                                       trans=True)
-        alpha = k_inv_y - model.v @ z
+    # All fantasy weights at once: alphas (n_mc, N), betas (n_mc, q_ch).
+    betas = linalg.solve_triangular(model.chol_union, normals.T,
+                                    lower=True, trans=True).T
+    alphas = k_inv_y[None, :] - linalg.hdot(normals, model.v.T)
+
+    # Discretized-set seeding for ALL draws as two MXU matmuls: the kernel
+    # rows over the seed set are shared across draws (the reference — and
+    # our earlier version — recomputed them per draw per start,
+    # 128x more transcendentals).
+    starts_full = jax.vmap(
+        lambda p: _pin_fidelity(p, state.dim, num_fidelity))(starts_all)
+    k_sx = cov_mod.build_block_covariance(
+        state.covariance, starts_full, (), state.points_sampled,
+        state.derivatives)                       # (n_starts, N)
+    k_su_frozen = cov_mod.build_block_covariance(
+        state.covariance, starts_full, (), frozen.union, ds)
+    mu_starts = state.mean + \
+        linalg.hdot(k_sx, lax.stop_gradient(alphas).T) + \
+        linalg.hdot(k_su_frozen, lax.stop_gradient(betas).T)
+    x0_idx = jnp.argmin(mu_starts, axis=0)          # (n_mc,)
+    x0_all = starts_all[x0_idx]
+
+    def per_draw(z, alpha, beta, x0):
         # frozen copies drive the inner argmin (envelope theorem)
         beta_f = lax.stop_gradient(beta)
         alpha_f = lax.stop_gradient(alpha)
@@ -191,9 +214,6 @@ def knowledge_gradient(state: GaussianProcessState, union: jax.Array,
                                      num_fidelity)
         mu_live = _fantasy_mean_fn(state, model, alpha, beta, ds,
                                    num_fidelity)
-
-        vals = jax.vmap(mu_frozen)(starts_all)
-        x0 = starts_all[jnp.argmin(vals)]
 
         def vg(x):
             v, g = jax.value_and_grad(mu_frozen)(x)
@@ -206,7 +226,7 @@ def knowledge_gradient(state: GaussianProcessState, union: jax.Array,
         best_min = jnp.minimum(mu_live(x_star), mu_live(x0))
         return best_posterior - best_min
 
-    contributions = jax.vmap(per_draw)(normals)
+    contributions = jax.vmap(per_draw)(normals, alphas, betas, x0_all)
     return jnp.mean(contributions)
 
 
@@ -229,6 +249,189 @@ def knowledge_gradient_value_and_grad(
                                   domain, inner_params, best_so_far,
                                   num_fidelity, derivatives_to_sample)
     return jax.value_and_grad(f)(pts)
+
+
+# ---------------------------------------------------------------------------
+# Batched-union KG (the TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# The multistart optimizer evaluates KG at B candidate unions per GD step.
+# Computing each union's precompute separately leaves every matmul with an
+# RHS width of q_ch (~4), which pads to a full 128-lane MXU tile — 32x
+# wasted compute.  The batched path fuses the B unions' kernel columns into
+# single wide matmuls (RHS width B*q_ch) and runs the whole multistart step
+# through full tiles.  Semantics identical to knowledge_gradient.
+
+def _build_fantasy_model_batch(state: GaussianProcessState,
+                               unions: jax.Array,
+                               derivatives_to_sample: Sequence[int] = ()):
+    """Batched fantasy precompute: unions is (B, q, dim).
+
+    Returns (mu_u (B, q_ch), chol_u (B, q_ch, q_ch), v (B, N, q_ch)).
+    """
+    ds = tuple(int(i) for i in derivatives_to_sample)
+    b, q, dim = unions.shape
+    c = 1 + len(ds)
+    q_ch = q * c
+    flat = unions.reshape(b * q, dim)
+
+    k_xu_flat = gp_mod._mix_cov(state, flat, ds)       # (N, B*q_ch)
+    n_ch = k_xu_flat.shape[0]
+    mu_u = (linalg.hdot(k_xu_flat.T, state.K_inv_y)
+            .reshape(b, q, c).at[:, :, 0].add(state.mean)
+            .reshape(b, q_ch))
+
+    va = linalg.solve_lower_with_refinement(
+        state.chol_K, state.inv_chol_K, k_xu_flat).reshape(n_ch, b, q_ch)
+    prior_u = jax.vmap(lambda u: cov_mod.build_block_covariance(
+        state.covariance, u, ds, u, ds))(unions)       # (B, q_ch, q_ch)
+    var_u = prior_u - jnp.einsum("nbi,nbj->bij", va, va,
+                                 precision=linalg.HIGHEST)
+    var_u = linalg.symmetrize(var_u)
+
+    noise = jnp.tile(state.noise_variance[:c], q)
+    min_diag = jnp.min(jnp.diagonal(var_u, axis1=-2, axis2=-1), axis=-1)
+    repair = lax.stop_gradient(jnp.maximum(0.0, -1.5 * min_diag))
+    var_u = var_u + (noise[None, :] + repair[:, None])[..., None] * \
+        jnp.eye(q_ch, dtype=var_u.dtype)
+    chol_u = jnp.linalg.cholesky(var_u)                # (B, q_ch, q_ch)
+
+    # w = K^-1 k = L^-T va, reusing the refined va (saves a full
+    # cho_solve refinement chain: 3 matmuls instead of 6)
+    va_flat = va.reshape(n_ch, b * q_ch)
+    w0 = linalg.hdot(state.inv_chol_K.T, va_flat)
+    r2 = va_flat - linalg.hdot(state.chol_K.T, w0)
+    w = (w0 + linalg.hdot(state.inv_chol_K.T, r2)).reshape(n_ch, b, q_ch)
+    v = jax.vmap(lambda cu, wb: linalg.solve_triangular(
+        cu, wb.T, lower=True).T)(chol_u, jnp.moveaxis(w, 1, 0))
+    return mu_u, chol_u, v
+
+
+def knowledge_gradient_batch(state: GaussianProcessState,
+                             unions: jax.Array, discrete_pts: jax.Array,
+                             normals: jax.Array, domain, inner_params,
+                             best_so_far, num_fidelity: int = 0,
+                             derivatives_to_sample: Sequence[int] = ()
+                             ) -> jax.Array:
+    """KG at B unions at once: (B, q, dim) -> (B,).
+
+    Identical estimator to :func:`knowledge_gradient`; requires a state
+    fitted with ``precompute_inverse=True``.
+    """
+    ds = tuple(int(i) for i in derivatives_to_sample)
+    b, q, dim = unions.shape
+    c = 1 + len(ds)
+    q_ch = q * c
+    n_mc = normals.shape[0]
+    dim_opt = dim - num_fidelity
+
+    mu_u, chol_u, v = _build_fantasy_model_batch(state, unions, ds)
+    best_posterior = jnp.minimum(
+        best_so_far, jnp.min(mu_u.reshape(b, q, c)[:, :, 0], axis=1))
+
+    # fantasy weights for every (union, draw)
+    betas = jax.vmap(lambda cu: linalg.solve_triangular(
+        cu, normals.T, lower=True, trans=True).T)(chol_u)  # (B, n_mc, q_ch)
+    alphas = state.K_inv_y[None, None, :] - jnp.einsum(
+        "mq,bnq->bmn", normals, v, precision=linalg.HIGHEST)
+
+    # seeding over the discretized set, batched over unions
+    starts = jnp.concatenate([
+        jnp.broadcast_to(discrete_pts, (b,) + discrete_pts.shape),
+        lax.stop_gradient(unions[:, :, :dim_opt])], axis=1)  # (B, n_s, d')
+    n_s = starts.shape[1]
+    starts_full = jax.vmap(jax.vmap(
+        lambda p: _pin_fidelity(p, dim, num_fidelity)))(starts)
+    k_sx = gp_mod._mix_cov(
+        state, starts_full.reshape(b * n_s, dim), ()).T.reshape(b, n_s, -1)
+    k_su = jax.vmap(lambda sf, u: cov_mod.build_block_covariance(
+        state.covariance, sf, (), u, ds))(starts_full, unions)
+
+    mu_starts = state.mean + \
+        jnp.einsum("bsn,bmn->bsm", k_sx, lax.stop_gradient(alphas),
+                   precision=linalg.HIGHEST) + \
+        jnp.einsum("bsq,bmq->bsm", k_su, lax.stop_gradient(betas),
+                   precision=linalg.HIGHEST)
+    x0_idx = jnp.argmin(mu_starts, axis=1)                  # (B, n_mc)
+    x0 = jnp.take_along_axis(starts, x0_idx[..., None], axis=1)
+
+    frozen_unions = lax.stop_gradient(unions)
+
+    grad_channels = tuple(range(dim_opt))
+
+    def per_union(union_b, union_f, alpha_b, beta_b, x0_b, bp):
+        def mu_of(x_opt, a, be, u):
+            x = _pin_fidelity(x_opt, dim, num_fidelity)[None]
+            k_xx = cov_mod.build_block_covariance(
+                state.covariance, x, (), state.points_sampled,
+                state.derivatives)[0]
+            k_xu = cov_mod.build_block_covariance(
+                state.covariance, x, (), u, ds)[0]
+            return state.mean + k_xx @ a + k_xu @ be
+
+        def per_draw(alpha, beta, x0_one):
+            alpha_f = lax.stop_gradient(alpha)
+            beta_f = lax.stop_gradient(beta)
+
+            def vg(x):
+                # autodiff value_and_grad here beats a hand-fused
+                # value+grad row block: XLA fuses the backward kernel-row
+                # pass without materializing (1+d', N) intermediates per
+                # (restart, draw, step)
+                val, g = jax.value_and_grad(
+                    lambda p: mu_of(p, alpha_f, beta_f, union_f))(x)
+                return -val, -g
+
+            x_star = optimizers.gradient_ascent(vg, domain, x0_one,
+                                                inner_params)
+            x_star = lax.stop_gradient(x_star)
+            best_min = jnp.minimum(
+                mu_of(x_star, alpha, beta, union_b),
+                mu_of(x0_one, alpha, beta, union_b))
+            return bp - best_min
+
+        return jnp.mean(jax.vmap(per_draw)(alpha_b, beta_b, x0_b))
+
+    return jax.vmap(per_union)(unions, frozen_unions, alphas, betas, x0,
+                               best_posterior)
+
+
+def knowledge_gradient_mcmc_batch(states: GaussianProcessState,
+                                  unions: jax.Array,
+                                  discrete_pts: jax.Array,
+                                  normals: jax.Array, domain,
+                                  inner_params, best_so_far,
+                                  num_to_sample: int,
+                                  num_fidelity: int = 0,
+                                  derivatives_to_sample: Sequence[int] = ()
+                                  ) -> jax.Array:
+    """Batched ensemble KG: (B, q, dim) -> (B,), averaged over members and
+    divided by the fidelity cost of each union."""
+    def one(s, dpts, bsf):
+        return knowledge_gradient_batch(
+            s, unions, dpts, normals, domain, inner_params, bsf,
+            num_fidelity, derivatives_to_sample)
+
+    kgs = jax.vmap(one)(states, discrete_pts, best_so_far)  # (S, B)
+    costs = jax.vmap(lambda u: fidelity_cost(u, num_to_sample,
+                                             num_fidelity))(unions)
+    return jnp.mean(kgs, axis=0) / costs
+
+
+def knowledge_gradient_mcmc_batch_value_and_grad(
+        states, unions, discrete_pts, normals, domain, inner_params,
+        best_so_far, num_to_sample, num_fidelity: int = 0,
+        derivatives_to_sample: Sequence[int] = ()):
+    """((B,), (B, q, dim)) value and per-union gradients via one vjp."""
+    def f(u):
+        return knowledge_gradient_mcmc_batch(
+            states, u, discrete_pts, normals, domain, inner_params,
+            best_so_far, num_to_sample, num_fidelity,
+            derivatives_to_sample)
+
+    vals, vjp = jax.vjp(f, unions)
+    grads = vjp(jnp.ones_like(vals))[0]
+    return vals, grads
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +530,7 @@ def multistart_knowledge_gradient_mcmc_optimization(
         best_so_far=None, num_mc_iterations: int = 128,
         num_fidelity: int = 0,
         derivatives_to_sample: Sequence[int] = (),
-        chunk_size=None) -> jax.Array:
+        chunk_size=None, use_batched: bool = True) -> jax.Array:
     """MCMC-averaged q-KG suggestion over a stacked ensemble.
 
     Counterpart of multistart_knowledge_gradient_mcmc_optimization
@@ -358,6 +561,22 @@ def multistart_knowledge_gradient_mcmc_optimization(
     inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
 
     being = None if p == 0 else jnp.atleast_2d(points_being_sampled)
+
+    if use_batched and states.inv_chol_K is not None:
+        def bvg(pts_batch):
+            unions = pts_batch if being is None else jnp.concatenate(
+                [pts_batch,
+                 jnp.broadcast_to(being, (pts_batch.shape[0],) +
+                                  being.shape)], axis=1)
+            vals, grads = knowledge_gradient_mcmc_batch_value_and_grad(
+                states, unions, discrete_pts, normals, inner_domain,
+                inner_params, best_so_far, num_to_sample, num_fidelity,
+                ds)
+            return vals, grads[:, :num_to_sample]
+
+        res = optimizers.multistart_optimize_batched(
+            bvg, rep, starts, params, chunk_size=chunk_size)
+        return res.best_point
 
     def f(pts):
         union = pts if being is None else \

@@ -46,6 +46,12 @@ class GaussianProcessState(struct.PyTreeNode):
     chol_K: jax.Array                  # (n*(1+m), n*(1+m)) lower factor
     K_inv_y: jax.Array                 # (n*(1+m),)
     mean: jax.Array                    # scalar prior mean (value channels)
+    # Explicit L^-1 (inverse Cholesky factor), precomputed at fit time.
+    # TPU-native choice: triangular solves are sequential and latency-bound
+    # on TPU, so the acquisition hot paths use inv_chol matmuls (MXU, Gram
+    # form — numerically equivalent to the solve path) instead; None falls
+    # back to Cholesky solves (e.g. after an incremental append).
+    inv_chol_K: Optional[jax.Array] = None
 
     @property
     def dim(self) -> int:
@@ -72,7 +78,8 @@ class GaussianProcessState(struct.PyTreeNode):
 def fit_gp(covariance: StationaryCovariance, noise_variance,
            points_sampled, points_sampled_value,
            derivatives: Sequence[int] = (), jitter: float = 0.0,
-           mean: Optional[jax.Array] = None) -> GaussianProcessState:
+           mean: Optional[jax.Array] = None,
+           precompute_inverse: bool = True) -> GaussianProcessState:
     """Build the derived GP state (RecomputeDerivedVariables counterpart).
 
     ``points_sampled_value`` has shape (n, 1 + m); ``noise_variance`` has
@@ -106,11 +113,15 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
         mean = jnp.mean(y[:, 0])
     y_centered = y.at[:, 0].add(-mean).reshape(-1)
     k_inv_y = linalg.cho_solve(chol, y_centered)
+    inv_chol = linalg.solve_triangular(
+        chol, jnp.eye(chol.shape[0], dtype=x.dtype), lower=True) \
+        if precompute_inverse else None
 
     return GaussianProcessState(
         covariance=covariance, noise_variance=noise, points_sampled=x,
         points_sampled_value=y, derivatives=derivatives, chol_K=chol,
-        K_inv_y=k_inv_y, mean=jnp.asarray(mean, x.dtype))
+        K_inv_y=k_inv_y, mean=jnp.asarray(mean, x.dtype),
+        inv_chol_K=inv_chol)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +147,8 @@ def posterior_mean(state: GaussianProcessState, points_to_sample,
     pts = jnp.atleast_2d(jnp.asarray(points_to_sample))
     ds = tuple(int(i) for i in derivatives_to_sample)
     kt = _mix_cov(state, pts, ds)
-    mu = (kt.T @ state.K_inv_y).reshape(pts.shape[0], 1 + len(ds))
+    mu = linalg.hdot(kt.T, state.K_inv_y).reshape(
+        pts.shape[0], 1 + len(ds))
     return mu.at[:, 0].add(state.mean)
 
 
@@ -155,10 +167,22 @@ def posterior_covariance(state: GaussianProcessState, points_1,
     prior = cov_mod.build_block_covariance(state.covariance, a, ds, b, ds)
     ka = _mix_cov(state, a, ds)
     kb = ka if points_2 is None else _mix_cov(state, b, ds)
+    if state.inv_chol_K is not None:
+        # MXU path: inverse-Cholesky matmul + one refinement step.  A bare
+        # L^-1 matmul was tried and removed — its forward error (amplified
+        # by cond(K)) produced O(1) posterior-variance errors in f32 at 500
+        # points; one refinement step restores solve-path accuracy while
+        # keeping everything on the MXU.
+        va = linalg.solve_lower_with_refinement(state.chol_K,
+                                                state.inv_chol_K, ka)
+        vb = va if points_2 is None else \
+            linalg.solve_lower_with_refinement(state.chol_K,
+                                               state.inv_chol_K, kb)
+        return prior - linalg.hdot(va.T, vb)
     va = linalg.solve_triangular(state.chol_K, ka, lower=True)
     vb = va if points_2 is None else linalg.solve_triangular(
         state.chol_K, kb, lower=True)
-    return prior - va.T @ vb
+    return prior - linalg.hdot(va.T, vb)
 
 
 def posterior_variance(state: GaussianProcessState, points_to_sample,
@@ -254,8 +278,12 @@ def add_sampled_points(state: GaussianProcessState, new_points,
     mean = jnp.mean(y[:, 0]) if update_mean else state.mean
     y_centered = y.at[:, 0].add(-mean).reshape(-1)
     k_inv_y = linalg.cho_solve(chol, y_centered)
+    inv_chol = None if state.inv_chol_K is None else \
+        linalg.solve_triangular(
+            chol, jnp.eye(chol.shape[0], dtype=chol.dtype), lower=True)
     return state.replace(points_sampled=x, points_sampled_value=y,
-                         chol_K=chol, K_inv_y=k_inv_y, mean=mean)
+                         chol_K=chol, K_inv_y=k_inv_y, mean=mean,
+                         inv_chol_K=inv_chol)
 
 
 def fantasy_update_vector(state: GaussianProcessState, union_points,

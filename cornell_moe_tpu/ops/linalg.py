@@ -17,6 +17,17 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# TPU MXU f32 matmuls default to one-pass bf16 multiplication (~8e-3
+# relative error) under jax_default_matmul_precision='default'.  GP
+# posterior algebra is cancellation-sensitive, so every matmul on the
+# covariance path uses full f32 (HIGHEST = 6-pass bf16) via this helper.
+HIGHEST = lax.Precision.HIGHEST
+
+
+def hdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """matmul at full f32 precision (see HIGHEST note above)."""
+    return jnp.matmul(a, b, precision=HIGHEST)
+
 
 def add_jitter(matrix: jax.Array, jitter) -> jax.Array:
     """Add ``jitter`` to the diagonal of the (..., n, n) matrix."""
@@ -64,6 +75,38 @@ def spd_solve(matrix: jax.Array, rhs: jax.Array, jitter=0.0) -> jax.Array:
     return cho_solve(cholesky(matrix, jitter=jitter), rhs)
 
 
+def solve_lower_with_refinement(chol: jax.Array, inv_chol: jax.Array,
+                                rhs: jax.Array, iterations: int = 1
+                                ) -> jax.Array:
+    """L x = rhs via explicit-inverse matmul + iterative refinement.
+
+    TPU-native replacement for the sequential triangular solve on hot
+    paths: the matmul x0 = L^-1 rhs runs on the MXU but carries forward
+    error ~ cond(L) * eps; each refinement step (two more matmuls) squares
+    that factor, matching backward-stable solve accuracy after one step
+    for the condition numbers seen in GP covariances.
+    """
+    x = hdot(inv_chol, rhs)
+    for _ in range(iterations):
+        r = rhs - hdot(chol, x)
+        x = x + hdot(inv_chol, r)
+    return x
+
+
+def cho_solve_with_refinement(chol: jax.Array, inv_chol: jax.Array,
+                              rhs: jax.Array, iterations: int = 1
+                              ) -> jax.Array:
+    """(L L^T) x = rhs via Gram matmuls + iterative refinement."""
+    def apply_inv(b):
+        return hdot(inv_chol.T, hdot(inv_chol, b))
+
+    x = apply_inv(rhs)
+    for _ in range(iterations):
+        r = rhs - hdot(chol, hdot(chol.T, x))
+        x = x + apply_inv(r)
+    return x
+
+
 def safe_sqrt(s: jax.Array) -> jax.Array:
     """sqrt with autodiff-safe behaviour at 0.
 
@@ -106,7 +149,7 @@ def chol_update_append(chol: jax.Array, cross_cov: jax.Array,
     n = chol.shape[-1]
     q = new_block.shape[-1]
     s = solve_triangular(chol, cross_cov, lower=True)          # (n, q)
-    schur = new_block - s.T @ s                                 # (q, q)
+    schur = new_block - hdot(s.T, s)                            # (q, q)
     chol_schur = jnp.linalg.cholesky(schur)
     top = jnp.concatenate([chol, jnp.zeros((n, q), chol.dtype)], axis=1)
     bot = jnp.concatenate([s.T, chol_schur], axis=1)

@@ -96,6 +96,71 @@ def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
     return x
 
 
+def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
+                          x0: jax.Array,
+                          params: GradientDescentParameters) -> jax.Array:
+    """Restarted GD on a whole batch of starts at once.
+
+    ``batched_value_and_grad((B, ...)) -> ((B,), (B, ...))``.  Unlike
+    vmap(gradient_ascent), the batch axis lives INSIDE the objective's
+    matmuls, which lets fused implementations use full MXU tiles (the
+    KG union-precompute becomes one wide matmul instead of B thin ones).
+    Semantics identical to the vmapped path.
+    """
+    avg_n = max(int(params.num_steps_averaged), 0)
+    use_avg = 0 < avg_n <= params.max_num_steps
+
+    def one_round(x, _):
+        def step(carry, i):
+            x = carry
+            _, g = batched_value_and_grad(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+            dx = domain.limit_update(params.max_relative_change, x,
+                                     alpha * g)
+            return x + dx, x + dx
+
+        steps = jnp.arange(params.max_num_steps, dtype=x.dtype)
+        x_final, traj = lax.scan(step, x, steps)
+        if use_avg:
+            x_final = jnp.mean(traj[-avg_n:], axis=0)
+            x_final = domain.clip(x_final)
+        return x_final, None
+
+    x, _ = lax.scan(one_round, x0, None, length=max(
+        int(params.max_num_restarts), 1))
+    return x
+
+
+def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
+                                initial_points: jax.Array,
+                                params: GradientDescentParameters,
+                                chunk_size: Optional[int] = None
+                                ) -> MultistartResult:
+    """Multistart GD with a batched objective (see gradient_ascent_batch)."""
+    def run_batch(starts):
+        return gradient_ascent_batch(batched_value_and_grad, domain,
+                                     starts, params)
+
+    n = initial_points.shape[0]
+    if chunk_size and n % chunk_size == 0 and n > chunk_size:
+        chunked = initial_points.reshape(
+            (n // chunk_size, chunk_size) + initial_points.shape[1:])
+        final_points = jax.lax.map(run_batch, chunked).reshape(
+            initial_points.shape)
+        values = jax.lax.map(
+            lambda c: batched_value_and_grad(c)[0],
+            final_points.reshape(chunked.shape)).reshape(-1)
+    else:
+        final_points = run_batch(initial_points)
+        values = batched_value_and_grad(final_points)[0]
+    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe_values)
+    return MultistartResult(best_point=final_points[best],
+                            best_value=values[best],
+                            all_points=final_points, all_values=values)
+
+
 def multistart_optimize(value_and_grad_fn: Callable, domain,
                         initial_points: jax.Array,
                         params: GradientDescentParameters,

@@ -193,3 +193,53 @@ def test_multistart_kg_optimization_runs(rng):
         num_mc_iterations=16)
     assert pts.shape == (2, 1)
     assert bool(jnp.all(dom.check_point_inside(pts)))
+
+
+def test_batched_kg_matches_single(rng):
+    """knowledge_gradient_batch must equal the per-union path exactly."""
+    state, x, y = _gp_1d(rng)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.linspace(-2, 2, 9)[:, None]
+    normals = draw_antithetic_normals(jax.random.PRNGKey(7), 16, 2)
+    unions = jnp.asarray(np.random.default_rng(3).uniform(
+        -2, 2, size=(5, 2, 1)))
+    batched = np.asarray(kg_mod.knowledge_gradient_batch(
+        state, unions, discrete, normals, dom, INNER, float(y.min())))
+    singles = np.asarray([float(kg_mod.knowledge_gradient(
+        state, unions[i], discrete, normals, dom, INNER,
+        float(y.min()))) for i in range(5)])
+    np.testing.assert_allclose(batched, singles, rtol=1e-9, atol=1e-12)
+
+
+def test_batched_kg_mcmc_value_and_grad(rng):
+    state_a, x, y = _gp_1d(rng)
+    hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])
+    noises = np.full((2, 1), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None])
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.tile(jnp.linspace(-2, 2, 7)[None, :, None], (2, 1, 1))
+    normals = draw_antithetic_normals(jax.random.PRNGKey(8), 8, 2)
+    bsf = jnp.asarray([float(y.min())] * 2)
+    unions = jnp.asarray(np.random.default_rng(4).uniform(
+        -2, 2, size=(3, 2, 1)))
+    vals, grads = kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+        states, unions, discrete, normals, dom, INNER, bsf, 2)
+    assert vals.shape == (3,)
+    assert grads.shape == (3, 2, 1)
+    # against the unbatched mcmc path
+    for i in range(3):
+        v = float(kg_mod.knowledge_gradient_mcmc(
+            states, unions[i], discrete, normals, dom, INNER, bsf, 2))
+        np.testing.assert_allclose(float(vals[i]), v, rtol=1e-9)
+    # FD ping one gradient entry
+    eps = 3e-5
+    up = unions.at[1, 0, 0].add(eps)
+    dn = unions.at[1, 0, 0].add(-eps)
+    v_up = kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+        states, up, discrete, normals, dom, INNER, bsf, 2)[0][1]
+    v_dn = kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+        states, dn, discrete, normals, dom, INNER, bsf, 2)[0][1]
+    fd = (float(v_up) - float(v_dn)) / (2 * eps)
+    np.testing.assert_allclose(float(grads[1, 0, 0]), fd, rtol=2e-2,
+                               atol=2e-4)
