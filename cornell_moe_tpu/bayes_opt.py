@@ -159,6 +159,7 @@ class BayesianOptimizer:
         DEFAULT_SGD_PARAMS_PS
     seed: int = 0
     verbose: bool = True
+    checkpoint_path: Optional[str] = None
 
     def __post_init__(self):
         f = self.objective_func
@@ -171,6 +172,8 @@ class BayesianOptimizer:
         self._key = jax.random.PRNGKey(self.seed)
         self.capital_so_far = 0.0
         self.history = []
+        from cornell_moe_tpu.utils.logging_utils import PhaseTimer
+        self.timer = PhaseTimer()
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -275,15 +278,40 @@ class BayesianOptimizer:
         self._log(f"recommendation took {time.time() - t0:.2f}s")
         return report
 
+    def save_checkpoint(self, iteration: int):
+        if self.checkpoint_path is None:
+            return
+        from cornell_moe_tpu.utils import checkpoint as ckpt
+        ckpt.save_checkpoint(
+            self.checkpoint_path, self.model._data,
+            mcmc_model=self.model, rng_key=self._key,
+            metadata={"iteration": iteration, "method": self.method,
+                      "capital": self.capital_so_far})
+
+    def resume(self, path: Optional[str] = None):
+        """Restore the model (data + walker state) from a checkpoint;
+        returns the saved metadata (e.g. the last completed iteration)."""
+        from cornell_moe_tpu.utils import checkpoint as ckpt
+        self.model, manifest = ckpt.restore_mcmc_model(
+            path or self.checkpoint_path)
+        self.capital_so_far = manifest["metadata"].get("capital", 0.0)
+        return manifest["metadata"]
+
     # -- the full loop ----------------------------------------------------
-    def run(self, num_iterations: int, num_init_pts: Optional[int] = None):
-        self.initialize(num_init_pts)
-        for it in range(num_iterations):
+    def run(self, num_iterations: int, num_init_pts: Optional[int] = None,
+            start_iteration: int = 0):
+        if start_iteration == 0:
+            with self.timer.phase("initialize"):
+                self.initialize(num_init_pts)
+        for it in range(start_iteration, num_iterations):
             self._log(f"--- iteration {it} ({self.method}, "
                       f"q={self.num_to_sample}) ---")
-            pts, voi = self.suggest()
-            self.observe(pts)
-            report = self.recommend()
+            with self.timer.phase("suggest", method=self.method):
+                pts, voi = self.suggest()
+            with self.timer.phase("observe_retrain"):
+                self.observe(pts)
+            with self.timer.phase("recommend"):
+                report = self.recommend()
             true_val = float(self.objective_func.evaluate_true(report)[0])
             self._log(f"recommended point {report}, true value "
                       f"{true_val:.6f}")
@@ -291,4 +319,5 @@ class BayesianOptimizer:
                 "iteration": it, "voi": voi, "suggested": pts,
                 "recommended": report, "true_value": true_val,
                 "capital": self.capital_so_far})
+            self.save_checkpoint(it)
         return self.history
