@@ -35,10 +35,13 @@ class SyntheticFunction:
         cpu = jax.devices("cpu")[0]
         self._cpu = cpu
         self._value_and_grad = jax.jit(
-            jax.value_and_grad(lambda x: self._value(x)), device=cpu)
+            jax.value_and_grad(lambda x: self._value(x)))
         self._rng = np.random.default_rng(0)
 
     def evaluate_true(self, x):
+        # device_put to CPU pins the jitted computation there (objective
+        # evaluation is host-side; a TPU round-trip costs minutes of
+        # compile through the remote tunnel)
         x = jax.device_put(np.asarray(x, dtype=float), self._cpu)
         v, g = self._value_and_grad(x)
         return np.concatenate([[float(v)], np.asarray(g)])
@@ -176,9 +179,49 @@ class BraninNoisy(Branin):
     _sample_var = 0.25
 
 
+class BraninWithDerivatives(Branin):
+    """Branin with observed gradients (the d-KG / d-EI setting.
+
+    The reference enables this by setting _observations =
+    numpy.arange(dim) on any synthetic function,
+    examples/synthetic_functions.py:16)."""
+
+    _observations = (0, 1)
+
+
+class BraninFidelity(SyntheticFunction):
+    """Branin with one continuous-fidelity dimension (last coordinate).
+
+    Low fidelity (s < 1) adds a smooth bias; evaluating at s = 1
+    recovers Branin.  Cost of an evaluation is s (the continuous-fidelity
+    KG divides VOI by max cost, gpp_kg_mcmc_optimization.cpp:87-104).
+    """
+
+    _num_fidelity = 1
+
+    def __init__(self):
+        self._dim = 3
+        self._search_domain = np.array(
+            [[0.0, 15.0], [-5.0, 15.0], [0.05, 1.0]])
+        self._min_value = 0.397887
+        super().__init__()
+
+    def _value(self, x):
+        a, b = 1.0, 5.1 / (4 * math.pi**2)
+        c, r = 5.0 / math.pi, 6.0
+        s, t = 10.0, 1.0 / (8 * math.pi)
+        branin = (a * (x[1] - b * x[0]**2 + c * x[0] - r) ** 2
+                  + s * (1 - t) * jnp.cos(x[0]) + s)
+        fidelity = x[2]
+        bias = 10.0 * (1.0 - fidelity) * jnp.cos(0.5 * x[0]) ** 2
+        return branin + bias
+
+
 SYNTHETIC_FUNCTIONS = {
     "Branin": Branin,
     "BraninNoisy": BraninNoisy,
+    "BraninWithDerivatives": BraninWithDerivatives,
+    "BraninFidelity": BraninFidelity,
     "Rosenbrock": Rosenbrock,
     "Hartmann3": Hartmann3,
     "Levy4": Levy4,

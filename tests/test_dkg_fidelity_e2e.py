@@ -1,0 +1,75 @@
+"""End-to-end d-KG (derivative observations) and continuous-fidelity KG."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cornell_moe_tpu import bayes_opt
+from cornell_moe_tpu.ops import optimizers
+from cornell_moe_tpu.utils import synthetic_functions as sf
+
+FAST = optimizers.GradientDescentParameters(
+    num_multistarts=4, max_num_steps=8, max_num_restarts=1,
+    num_steps_averaged=2, gamma=0.7, pre_mult=1.0, max_relative_change=0.5)
+
+
+def test_dkg_end_to_end():
+    """KG loop on Branin with observed gradients (d-KG, Wu et al. 2017)."""
+    f = sf.BraninWithDerivatives()
+    assert f.derivative_observations == (0, 1)
+    bo = bayes_opt.BayesianOptimizer(
+        objective_func=f, method="KG", num_to_sample=2, num_mc=8,
+        n_hypers=8, chain_length=25, burnin_steps=25, noisy=False,
+        sgd_params=FAST, verbose=False)
+    history = bo.run(num_iterations=1)
+    h = history[0]
+    assert h["suggested"].shape == (2, 2)
+    assert np.isfinite(h["true_value"])
+    # the trained ensemble carries 3 observation channels per point
+    assert bo.model.models.points_sampled_value.shape[-1] == 3
+    assert bo.model.models.noise_variance.shape[-1] == 3
+
+
+def test_derivative_observations_sharpen_model():
+    """With gradient observations the GP fits Branin better from the same
+    points (the d-KG value proposition)."""
+    from cornell_moe_tpu.models import covariance as cov_mod
+    from cornell_moe_tpu.models import gp
+
+    f_plain = sf.Branin()
+    rng = np.random.default_rng(0)
+    x = np.column_stack([rng.uniform(0, 15, 12), rng.uniform(-5, 15, 12)])
+    vals = np.stack([f_plain.evaluate_true(p) for p in x])   # (12, 3)
+    xs = np.column_stack([rng.uniform(2, 13, 40),
+                          rng.uniform(-3, 13, 40)])
+    truth = np.array([f_plain.evaluate_true(p)[0] for p in xs])
+
+    cov = cov_mod.make_covariance("matern_2.5", [2500.0, 3.0, 4.0])
+    gp_v = gp.fit_gp(cov, jnp.asarray([1e-4]), jnp.asarray(x),
+                     jnp.asarray(vals[:, :1]))
+    gp_d = gp.fit_gp(cov, jnp.asarray([1e-4] * 3), jnp.asarray(x),
+                     jnp.asarray(vals), derivatives=(0, 1))
+    err_v = np.abs(np.asarray(
+        gp.posterior_mean(gp_v, jnp.asarray(xs)))[:, 0] - truth).mean()
+    err_d = np.abs(np.asarray(
+        gp.posterior_mean(gp_d, jnp.asarray(xs)))[:, 0] - truth).mean()
+    assert err_d < err_v
+
+
+def test_continuous_fidelity_end_to_end():
+    f = sf.BraninFidelity()
+    assert f._num_fidelity == 1
+    bo = bayes_opt.BayesianOptimizer(
+        objective_func=f, method="KG", num_to_sample=2, num_mc=8,
+        n_hypers=8, chain_length=25, burnin_steps=25, noisy=False,
+        sgd_params=FAST, verbose=False)
+    history = bo.run(num_iterations=1)
+    h = history[0]
+    assert h["suggested"].shape == (2, 3)
+    # suggested fidelities stay inside the fidelity bounds
+    assert np.all(h["suggested"][:, 2] >= 0.05 - 1e-9)
+    assert np.all(h["suggested"][:, 2] <= 1.0 + 1e-9)
+    # capital accounting: max over batch of fidelity product
+    assert np.isclose(h["capital"], np.max(h["suggested"][:, 2]))
+    # recommendation pins fidelity to 1
+    assert np.isclose(h["recommended"][2], 1.0)
+    assert np.isfinite(h["true_value"])
