@@ -256,14 +256,29 @@ def build_covariance_matrix(cov: StationaryCovariance, points: jax.Array,
 
 def build_covariance_matrix_with_noise(
         cov: StationaryCovariance, points: jax.Array,
-        derivatives: Sequence[int], noise_variance: jax.Array) -> jax.Array:
+        derivatives: Sequence[int], noise_variance: jax.Array,
+        use_pallas: str = "auto") -> jax.Array:
     """K + diag(noise), noise per channel tiled per point.
 
     Counterpart of BuildCovarianceMatrixWithNoiseVariance
-    (gpp_math.cpp:436-460).
+    (gpp_math.cpp:436-460).  On TPU/f32 with value-only channels and
+    large n, the fused Pallas Gram kernel builds K without materializing
+    the (n, n, d) difference tensor.
     """
-    k = build_covariance_matrix(cov, points, derivatives)
     n = points.shape[0]
+    kernel_name = next(
+        (name for name, cls in COVARIANCE_TYPES.items()
+         if isinstance(cov, cls)), None)
+    if use_pallas != "never" and kernel_name is not None:
+        from cornell_moe_tpu.ops import pallas_kernels as pk
+        if use_pallas == "always" or pk.pallas_available_for(
+                jnp.asarray(points), derivatives):
+            k = pk.pallas_covariance_matrix(
+                jnp.asarray(points), jnp.asarray(points),
+                cov.hyperparameters, kernel_name)
+            noise = jnp.asarray(noise_variance, k.dtype)[0]
+            return k + noise * jnp.eye(n, dtype=k.dtype)
+    k = build_covariance_matrix(cov, points, derivatives)
     noise = jnp.tile(jnp.asarray(noise_variance, k.dtype), n)
     return k + jnp.diag(noise)
 

@@ -33,9 +33,11 @@ def _system(covariance: StationaryCovariance, noise_variance, points,
     y = jnp.asarray(values)
     if y.ndim > 1:
         y = y.reshape(-1)
+    # use_pallas="never": the likelihood is differentiated wrt
+    # hyperparameters (MAP path) and the Pallas builder has no VJP
     k = cov_mod.build_covariance_matrix_with_noise(
         covariance, jnp.asarray(points), derivatives,
-        jnp.asarray(noise_variance))
+        jnp.asarray(noise_variance), use_pallas="never")
     chol = linalg.cholesky(k)
     alpha = linalg.cho_solve(chol, y)
     return y, chol, alpha

@@ -1,0 +1,46 @@
+"""Pallas covariance-kernel tests (interpret mode on the CPU suite)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cornell_moe_tpu.models import covariance as cov_mod
+from cornell_moe_tpu.ops import pallas_kernels as pk
+
+
+@pytest.mark.parametrize("kernel", ["square_exponential", "matern_2.5"])
+@pytest.mark.parametrize("shape", [(130, 70, 2), (256, 256, 5)])
+def test_pallas_covariance_matches_builder(kernel, shape, rng):
+    n1, n2, d = shape
+    hypers = np.concatenate([[1.5], 0.4 + rng.random(d)]).astype(
+        np.float32)
+    x1 = rng.standard_normal((n1, d)).astype(np.float32)
+    x2 = rng.standard_normal((n2, d)).astype(np.float32)
+
+    got = np.asarray(pk.pallas_covariance_matrix(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(hypers), kernel,
+        interpret=True))
+    cov = cov_mod.make_covariance(kernel, hypers)
+    expected = np.asarray(cov_mod.build_block_covariance(
+        cov, jnp.asarray(x1, jnp.float64), (),
+        jnp.asarray(x2, jnp.float64), ()))
+    assert got.shape == (n1, n2)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_gate_logic(rng):
+    x64 = jnp.asarray(rng.standard_normal((300, 2)))
+    # CPU backend in the test suite -> gated off
+    assert not pk.pallas_available_for(x64, ())
+
+
+def test_builder_with_noise_pallas_flag(rng):
+    """use_pallas='never' must be the default on CPU; results identical."""
+    hypers = np.array([1.0, 0.8, 1.2])
+    cov = cov_mod.make_covariance("matern_2.5", hypers)
+    pts = jnp.asarray(rng.standard_normal((20, 2)))
+    a = cov_mod.build_covariance_matrix_with_noise(
+        cov, pts, (), jnp.asarray([1e-3]))
+    b = cov_mod.build_covariance_matrix_with_noise(
+        cov, pts, (), jnp.asarray([1e-3]), use_pallas="never")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
