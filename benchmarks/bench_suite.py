@@ -1,0 +1,205 @@
+"""Benchmark suite over the BASELINE.json config list.
+
+Covers the five reference configurations (BASELINE.json "configs"); each
+prints one JSON line with the steady-state (post-compile) wall-clock of
+the jitted suggest computation on the current default device.
+
+Usage: python benchmarks/bench_suite.py [--small]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps=3):
+    import jax
+    out = jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = jax.block_until_ready(fn(*args))
+        times.append(time.time() - t0)
+    return min(times), out
+
+
+def _report(name, seconds, extra=None):
+    rec = {"metric": name, "value": round(seconds, 4), "unit": "seconds"}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main(small: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from cornell_moe_tpu.acquisition import expected_improvement as ei_mod
+    from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
+    from cornell_moe_tpu.models import covariance as cov_mod
+    from cornell_moe_tpu.models import gp as gp_mod
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    from cornell_moe_tpu.ops import optimizers
+    from cornell_moe_tpu.ops.domains import TensorProductDomain
+    from cornell_moe_tpu.utils import hesbo
+    from cornell_moe_tpu.utils import synthetic_functions as sf
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    scale = 4 if small else 1
+
+    def fit(x, y, hypers, noise=1e-3, derivs=()):
+        nch = 1 + len(derivs)
+        return gp_mod.fit_gp(
+            cov_mod.make_covariance("matern_2.5",
+                                    np.asarray(hypers, np.float32)),
+            jnp.asarray([noise] * nch, dtype), jnp.asarray(x, dtype),
+            jnp.asarray(y, dtype), derivatives=derivs)
+
+    # ---- config 1: analytic EI on Branin, fixed hypers, 1 suggestion ----
+    f = sf.Branin()
+    n_obs = 40
+    x = rng.random((n_obs, 2)) * [15, 20] + [0, -5]
+    y = np.array([f.evaluate_true(p)[0] for p in x])
+    y_std = (y - y.mean()) / y.std()
+    state = fit(x / [15, 20] + [0, 0.25], y_std[:, None], [1.0, 0.3, 0.3])
+    dom = TensorProductDomain.from_bounds(
+        np.array([[0, 1], [0, 1]], dtype=np.float32))
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=600 // scale, max_num_steps=500 // scale,
+        max_num_restarts=4, gamma=0.6, pre_mult=1.0)
+
+    def ei_suggest(key):
+        return ei_mod.multistart_expected_improvement_optimization(
+            key, state, dom, 1, params)
+
+    secs, _ = _timeit(jax.jit(ei_suggest), jax.random.PRNGKey(0))
+    _report("analytic EI suggest (Branin, 600 multistarts x 500 steps)",
+            secs)
+
+    # ---- config 2: q-EI batch=4 MC on Hartmann6 ------------------------
+    f6 = sf.Hartmann6()
+    x6 = rng.random((60, 6))
+    y6 = np.array([f6.evaluate_true(p)[0] for p in x6])
+    state6 = fit(x6, ((y6 - y6.mean()) / y6.std())[:, None],
+                 [1.0] + [0.4] * 6)
+    dom6 = TensorProductDomain.from_bounds(
+        np.repeat([[0.0, 1.0]], 6, axis=0).astype(np.float32))
+    params_qei = optimizers.GradientDescentParameters(
+        num_multistarts=200 // scale, max_num_steps=500 // scale,
+        max_num_restarts=4, num_steps_averaged=100 // scale, gamma=0.6,
+        pre_mult=1.0)
+
+    def qei_suggest(key):
+        return ei_mod.multistart_expected_improvement_optimization(
+            key, state6, dom6, 4, params_qei,
+            num_mc_iterations=2**10)
+
+    secs, _ = _timeit(jax.jit(qei_suggest), jax.random.PRNGKey(1))
+    _report("q-EI suggest (Hartmann6, q=4, 1024 MC, 200 multistarts)",
+            secs)
+
+    # ---- config 3: q-KG batch=2, noisy 1-d, MCMC-averaged --------------
+    n1, S = 30, 8
+    x1 = np.sort(rng.random(n1) * 4 - 2)[:, None]
+    y1 = np.sin(2 * x1[:, 0]) + 0.3 * rng.standard_normal(n1)
+    hypers = np.stack([0.8 + 0.8 * rng.random(S),
+                       0.3 + 0.5 * rng.random(S)], axis=1)
+    states = mcmc_mod.fit_gp_ensemble(
+        "matern_2.5", jnp.asarray(hypers, dtype),
+        jnp.full((S, 1), 0.09, dtype), jnp.asarray(x1, dtype),
+        jnp.asarray(y1, dtype)[:, None])
+    dom1 = TensorProductDomain.from_bounds(
+        np.array([[-2.0, 2.0]], dtype=np.float32))
+    inner = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    outer = optimizers.GradientDescentParameters(
+        num_multistarts=200 // scale, max_num_steps=50 // scale,
+        max_num_restarts=2, num_steps_averaged=4, gamma=0.7,
+        pre_mult=1.0, max_relative_change=0.5)
+    discrete = jnp.asarray(rng.uniform(-2, 2, (S, 11, 1)), dtype)
+    bsf = jnp.full((S,), float(y1.min()), dtype)
+    normals = ei_mod.draw_antithetic_normals(jax.random.PRNGKey(2), 2**7,
+                                             2, dtype=dtype)
+    from cornell_moe_tpu.ops.domains import RepeatedDomain
+    rep = RepeatedDomain(domain=dom1, num_repeats=2)
+
+    def qkg_suggest(starts):
+        def bvg(pts):
+            return kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+                states, pts, discrete, normals, dom1, inner, bsf, 2)
+        res = optimizers.multistart_optimize_batched(
+            bvg, rep, starts, outer, chunk_size=25 if not small else None)
+        return res.best_point
+
+    starts = rep.generate_latin_hypercube_points(
+        jax.random.PRNGKey(3), outer.num_multistarts).astype(dtype)
+    secs, _ = _timeit(jax.jit(qkg_suggest), starts)
+    _report("q-KG suggest (noisy 1-d, q=2, 8 hypers, 128 MC)", secs)
+
+    # ---- config 4: d-KG with derivative observations -------------------
+    fd = sf.BraninWithDerivatives()
+    nd = 20
+    xd = rng.random((nd, 2))
+    vals = np.stack([fd.evaluate_true(p * [15, 20] + [0, -5]) for p in xd])
+    scale_y = vals[:, 0].std()
+    yd = np.column_stack([(vals[:, 0] - vals[:, 0].mean()) / scale_y,
+                          vals[:, 1] / scale_y * 15,
+                          vals[:, 2] / scale_y * 20])
+    state_d = fit(xd, yd, [1.0, 0.3, 0.3], derivs=(0, 1))
+    dom_d = TensorProductDomain.from_bounds(
+        np.array([[0, 1], [0, 1]], dtype=np.float32))
+    discrete_d = jnp.asarray(rng.random((11, 2)), dtype)
+    normals_d = ei_mod.draw_antithetic_normals(jax.random.PRNGKey(4),
+                                               2**7, 2, dtype=dtype)
+
+    def dkg_value_grad(pts):
+        return kg_mod.knowledge_gradient_value_and_grad(
+            state_d, pts, None, discrete_d, normals_d, dom_d, inner,
+            float(yd[:, 0].min()))
+
+    pts0 = jnp.asarray(rng.random((2, 2)), dtype)
+    secs, _ = _timeit(jax.jit(dkg_value_grad), pts0)
+    _report("d-KG value+grad (Branin grads observed, q=2, 128 MC)", secs)
+
+    # ---- config 5: continuous-fidelity KG + HeSBO ----------------------
+    ff = sf.BraninFidelity()
+    proj = hesbo.Projection(2, sf.Hartmann6(), seed=0)   # HeSBO embedding
+    nf = 25
+    xf = rng.random((nf, 3)) * [1, 1, 0.95] + [0, 0, 0.05]
+    yf = np.array([ff.evaluate_true(p * [15, 20, 1] + [0, -5, 0])[0]
+                   for p in xf])
+    state_f = fit(xf, ((yf - yf.mean()) / yf.std())[:, None],
+                  [1.0, 0.3, 0.3, 0.5])
+    dom_f = TensorProductDomain.from_bounds(
+        np.array([[0, 1], [0, 1], [0.05, 1]], dtype=np.float32))
+    inner_dom_f = TensorProductDomain(bounds=dom_f.bounds[:2])
+    discrete_f = jnp.asarray(rng.random((11, 2)), dtype)
+    normals_f = ei_mod.draw_antithetic_normals(jax.random.PRNGKey(5),
+                                               2**7, 2, dtype=dtype)
+
+    def fkg_value_grad(pts):
+        def f_kg(p):
+            return kg_mod.knowledge_gradient(
+                state_f, p, discrete_f, normals_f, inner_dom_f, inner,
+                float(yf.min()), num_fidelity=1) / \
+                kg_mod.fidelity_cost(p, 2, 1)
+        return jax.value_and_grad(f_kg)(pts)
+
+    ptsf = jnp.asarray(rng.random((2, 3)) * [1, 1, 0.9] + [0, 0, 0.1],
+                       dtype)
+    secs, _ = _timeit(jax.jit(fkg_value_grad), ptsf)
+    _report("cf-KG value+grad (1 fidelity dim, q=2, 128 MC)", secs,
+            {"hesbo_embedding_dim": proj._dim})
+
+    print(f"# device: {jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main(small="--small" in sys.argv)
