@@ -11,6 +11,7 @@ path, and available as a host fallback for tiny problems.
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import subprocess
 from typing import Optional, Sequence
@@ -160,3 +161,45 @@ def analytic_expected_improvement(mu, var, best_so_far):
     lib = _load()
     return float(lib.cm_analytic_expected_improvement(
         float(mu), float(var), float(best_so_far)))
+
+
+def run_cpp_tests(verbose: bool = False) -> int:
+    """Self-check of the native library; returns the number of errors.
+
+    Counterpart of the GPP.run_cpp_tests binding
+    (gpp_python_test.cpp:307): quick internal consistency checks —
+    Cholesky round-trip, solve residuals, kernel symmetry/diagonal, EI
+    closed form — without needing the JAX stack.
+    """
+    if not available():
+        return 1
+    errors = 0
+    rng = np.random.default_rng(0)
+
+    a = rng.standard_normal((8, 8))
+    spd = a @ a.T + 8 * np.eye(8)
+    chol = cholesky(spd)
+    if not np.allclose(chol @ chol.T, spd, atol=1e-9):
+        errors += 1
+    lib = _load()
+    b = rng.standard_normal((8, 1)).copy()
+    x = b.copy()
+    lib.cm_chol_solve(_dp(chol), 8, _dp(x), 1)
+    if not np.allclose(spd @ x, b, atol=1e-8):
+        errors += 1
+
+    for kernel in KERNEL_IDS:
+        h = np.array([1.3, 0.8, 1.1])
+        pts = rng.standard_normal((6, 2))
+        k = build_block_covariance(kernel, h, pts, (), pts, ())
+        if not np.allclose(k, k.T, atol=1e-12):
+            errors += 1
+        if not np.allclose(np.diag(k), h[0], atol=1e-12):
+            errors += 1
+
+    ei0 = analytic_expected_improvement(0.0, 1.0, 0.0)
+    if abs(ei0 - 1.0 / math.sqrt(2 * math.pi)) > 1e-12:
+        errors += 1
+    if verbose:
+        print(f"native self-tests: {errors} errors")
+    return errors

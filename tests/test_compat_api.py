@@ -303,3 +303,22 @@ def test_scipy_optimizers(rng):
     assert np.isfinite(ei.compute_expected_improvement())
     results = opt_c.multistart_optimize(lbfgs, num_multistarts=3)
     assert results.shape[0] == 3
+
+
+def test_estimation_policy_classes(rng):
+    from cornell_moe_tpu.compat.estimation_policies import (
+        ConstantLiarEstimationPolicy, KrigingBelieverEstimationPolicy)
+    from cornell_moe_tpu.utils import constant as const
+
+    gp, x, y = _make_gp(rng)
+    cl = ConstantLiarEstimationPolicy.from_method(
+        const.CONSTANT_LIAR_MAX, y)
+    val, noise = cl.compute_estimate(gp, np.array([0.1]))
+    assert val == y.max()
+    assert noise == const.DEFAULT_CONSTANT_LIAR_LIE_NOISE_VARIANCE
+
+    kb = KrigingBelieverEstimationPolicy(std_deviation_coef=1.0)
+    val, noise = kb.compute_estimate(gp, np.array([[0.1]]))
+    mu = gp.compute_mean_of_points(np.array([[0.1]]))[0]
+    assert float(val) > mu          # mean + 1 sigma
+    assert noise == const.DEFAULT_KRIGING_NOISE_VARIANCE

@@ -116,3 +116,8 @@ def test_analytic_ei_matches_jax(rng):
         expected = sigma * (u * scipy.stats.norm.cdf(u)
                             + scipy.stats.norm.pdf(u))
         np.testing.assert_allclose(nat, expected, rtol=1e-12)
+
+
+def test_run_cpp_tests_parity():
+    """GPP.run_cpp_tests counterpart returns 0 errors."""
+    assert native.run_cpp_tests() == 0
