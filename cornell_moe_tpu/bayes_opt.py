@@ -160,6 +160,9 @@ class BayesianOptimizer:
     seed: int = 0
     verbose: bool = True
     checkpoint_path: Optional[str] = None
+    # pad num_sampled to multiples of this so retraining and suggesting
+    # reuse compiled programs across iterations (0 = off)
+    shape_bucket: int = 16
 
     def __post_init__(self):
         f = self.objective_func
@@ -200,7 +203,8 @@ class BayesianOptimizer:
             data, derivatives=self.derivatives, chain_length=
             self.chain_length, burnin_steps=self.burnin_steps,
             n_hypers=self.n_hypers, noisy=self.noisy,
-            kernel_name=self.kernel_name, rng_key=self._next_key())
+            kernel_name=self.kernel_name, rng_key=self._next_key(),
+            bucket=self.shape_bucket)
         t0 = time.time()
         self.model.train()
         self._log(f"initial training took {time.time() - t0:.2f}s on "
@@ -258,8 +262,9 @@ class BayesianOptimizer:
             bounds=self.domain.bounds[:dim_opt])
         eval_pts = inner_domain.generate_uniform_random_points_in_domain(
             self._next_key(), num_eval_pts)
-        sampled = jnp.asarray(
-            self.model._data.points_sampled[:, :dim_opt])
+        # use the (bucket-padded) state points so the guess-set shape is
+        # stable across iterations and this program compiles once
+        sampled = states.points_sampled[0][:, :dim_opt]
         guesses = jnp.concatenate([eval_pts, sampled], axis=0)
 
         def ensemble_neg_mean(x):

@@ -279,7 +279,11 @@ def build_covariance_matrix_with_noise(
             noise = jnp.asarray(noise_variance, k.dtype)[0]
             return k + noise * jnp.eye(n, dtype=k.dtype)
     k = build_covariance_matrix(cov, points, derivatives)
-    noise = jnp.tile(jnp.asarray(noise_variance, k.dtype), n)
+    noise = jnp.asarray(noise_variance, k.dtype)
+    if noise.ndim == 2:          # per-point per-channel (n, 1+m)
+        noise = noise.reshape(-1)
+    else:
+        noise = jnp.tile(noise, n)
     return k + jnp.diag(noise)
 
 

@@ -79,12 +79,19 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
            points_sampled, points_sampled_value,
            derivatives: Sequence[int] = (), jitter: float = 0.0,
            mean: Optional[jax.Array] = None,
-           precompute_inverse: bool = True) -> GaussianProcessState:
+           precompute_inverse: bool = True,
+           point_noise=None) -> GaussianProcessState:
     """Build the derived GP state (RecomputeDerivedVariables counterpart).
 
     ``points_sampled_value`` has shape (n, 1 + m); ``noise_variance`` has
     one entry per channel.  ``mean`` defaults to the empirical mean of the
     value channel (gpp_math.cpp:498-505).
+
+    ``point_noise`` (optional, (n, 1+m)) is added per point on top of the
+    per-channel noise — the shape-bucketing mechanism: padded dummy points
+    carry huge noise so they contribute nothing to the posterior while
+    keeping array shapes (and therefore compiled programs) stable as
+    observations accumulate.
     """
     derivatives = tuple(int(i) for i in derivatives)
     x = jnp.asarray(points_sampled)
@@ -105,8 +112,10 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
             f"values have {y.shape[-1]} channels, expected "
             f"{1 + len(derivatives)}")
 
+    total_noise = noise if point_noise is None else \
+        jnp.asarray(point_noise, x.dtype) + noise[None, :]
     k = cov_mod.build_covariance_matrix_with_noise(
-        covariance, x, derivatives, noise)
+        covariance, x, derivatives, total_noise)
     chol = linalg.cholesky(k, jitter=jitter)
 
     if mean is None:

@@ -29,15 +29,18 @@ from cornell_moe_tpu.ops import linalg
 
 
 def _system(covariance: StationaryCovariance, noise_variance, points,
-            values, derivatives: Sequence[int]):
+            values, derivatives: Sequence[int], point_noise=None):
     y = jnp.asarray(values)
     if y.ndim > 1:
         y = y.reshape(-1)
+    noise = jnp.asarray(noise_variance)
+    if point_noise is not None:
+        noise = jnp.asarray(point_noise) + noise[None, :]
     # use_pallas="never": the likelihood is differentiated wrt
     # hyperparameters (MAP path) and the Pallas builder has no VJP
     k = cov_mod.build_covariance_matrix_with_noise(
-        covariance, jnp.asarray(points), derivatives,
-        jnp.asarray(noise_variance), use_pallas="never")
+        covariance, jnp.asarray(points), derivatives, noise,
+        use_pallas="never")
     chol = linalg.cholesky(k)
     alpha = linalg.cho_solve(chol, y)
     return y, chol, alpha
@@ -45,10 +48,16 @@ def _system(covariance: StationaryCovariance, noise_variance, points,
 
 def log_marginal_likelihood(covariance: StationaryCovariance,
                             noise_variance, points, values,
-                            derivatives: Sequence[int] = ()) -> jax.Array:
-    """Zero-mean GP log marginal likelihood over all observation channels."""
+                            derivatives: Sequence[int] = (),
+                            point_noise=None) -> jax.Array:
+    """Zero-mean GP log marginal likelihood over all observation channels.
+
+    ``point_noise`` ((n, 1+m), optional) supports shape-bucketing: padded
+    huge-noise rows shift the LML by a theta-independent constant, which
+    MCMC/MAP are invariant to.
+    """
     y, chol, alpha = _system(covariance, noise_variance, points, values,
-                             derivatives)
+                             derivatives, point_noise)
     n = y.shape[0]
     return (-0.5 * y @ alpha
             - 0.5 * linalg.log_det_from_chol(chol)

@@ -42,6 +42,43 @@ LOG_BOUND = 20.0
 # Noise pinned when noisy=False (log_likelihood_mcmc.py:231).
 NOISELESS_VALUE = 1.0e-8
 
+# Noise assigned to shape-bucket padding points: large enough that they
+# carry no information, small enough to keep f32 Cholesky well-scaled.
+PAD_NOISE = 1.0e8
+
+
+def bucket_size(n: int, bucket: int) -> int:
+    if bucket <= 1:
+        return n
+    return ((n + bucket - 1) // bucket) * bucket
+
+
+def pad_training_data(x, y, target_n: int):
+    """Pad (x, y) to target_n rows with huge-noise dummy points.
+
+    Returns (x_pad, y_pad, point_noise (target_n, 1+m), real_mean).
+    Dummy points replicate the first row with the value channel set to
+    the real empirical mean, so best-observed/mean statistics are
+    unaffected; their PAD_NOISE rows make their posterior influence
+    ~1/PAD_NOISE.
+    """
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if y.ndim == 1:
+        y = y[:, None]
+    n, nch = y.shape
+    real_mean = float(y[:, 0].mean())
+    n_pad = target_n - n
+    if n_pad <= 0:
+        return x, y, np.zeros_like(y), real_mean
+    x_pad = np.concatenate([x, np.repeat(x[:1], n_pad, axis=0)])
+    y_fill = np.zeros((n_pad, nch))
+    y_fill[:, 0] = real_mean
+    y_pad = np.concatenate([y, y_fill])
+    noise = np.zeros((target_n, nch))
+    noise[n:, :] = PAD_NOISE
+    return x_pad, y_pad, noise, real_mean
+
 
 def stretch_move_step(key: jax.Array, positions: jax.Array,
                       log_probs: jax.Array, log_prob_fn: Callable,
@@ -105,8 +142,8 @@ def run_ensemble_mcmc(key: jax.Array, log_prob_fn: Callable,
 
 def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
                     noises: jax.Array, points, values,
-                    derivatives: Sequence[int] = (), jitter: float = 0.0
-                    ) -> gp_mod.GaussianProcessState:
+                    derivatives: Sequence[int] = (), jitter: float = 0.0,
+                    bucket: int = 0) -> gp_mod.GaussianProcessState:
     """Fit one GP per hyperparameter sample as a stacked state.
 
     ``hypers`` is (S, 1+dim) covariance hyperparameters (linear space);
@@ -114,14 +151,22 @@ def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
     GaussianProcess objects (gpp_kg_mcmc_optimization.cpp:40-49), but with
     the ensemble as a leading batch axis on every leaf.
     """
-    x = jnp.asarray(points)
-    y = jnp.asarray(values)
+    x = np.asarray(points)
+    y = np.asarray(values)
     if y.ndim == 1:
         y = y[:, None]
+    point_noise = None
+    mean = None
+    if bucket > 1:
+        target = bucket_size(x.shape[0], bucket)
+        x, y, point_noise, mean = pad_training_data(x, y, target)
+        point_noise = jnp.asarray(point_noise)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
 
     def one(h, nv):
         cov = cov_mod.COVARIANCE_TYPES[kernel_name](hyperparameters=h)
-        return gp_mod.fit_gp(cov, nv, x, y, derivatives, jitter=jitter)
+        return gp_mod.fit_gp(cov, nv, xj, yj, derivatives, jitter=jitter,
+                             point_noise=point_noise, mean=mean)
 
     return jax.vmap(one)(jnp.asarray(hypers), jnp.asarray(noises))
 
@@ -156,8 +201,11 @@ class GaussianProcessLogLikelihoodMCMC:
                  prior=None, chain_length: int = 1000,
                  burnin_steps: int = 2000, n_hypers: int = 16,
                  noisy: bool = True, kernel_name: str = "matern_2.5",
-                 rng_key: Optional[jax.Array] = None):
+                 rng_key: Optional[jax.Array] = None, bucket: int = 0):
         self._data = historical_data
+        # shape bucketing: pad n to multiples of `bucket` so retraining
+        # after new observations reuses the compiled chain/fit programs
+        self.bucket = bucket
         self._derivatives = tuple(int(i) for i in derivatives)
         self.dim = historical_data.dim
         num_noise = 1 + len(self._derivatives)
@@ -181,9 +229,18 @@ class GaussianProcessLogLikelihoodMCMC:
         self._noises = None
 
     # -- log posterior ----------------------------------------------------
+    def _padded_data(self):
+        x = self._data.points_sampled
+        y = self._data.points_sampled_value
+        if self.bucket > 1:
+            target = bucket_size(x.shape[0], self.bucket)
+            x, y, point_noise, _ = pad_training_data(x, y, target)
+            return jnp.asarray(x), jnp.asarray(y), \
+                jnp.asarray(point_noise)
+        return jnp.asarray(x), jnp.asarray(y), None
+
     def _make_log_posterior(self):
-        x = jnp.asarray(self._data.points_sampled)
-        y = jnp.asarray(self._data.points_sampled_value)
+        x, y, point_noise = self._padded_data()
         derivs = self._derivatives
         dim = self.dim
         num_noise = 1 + len(derivs)
@@ -201,7 +258,8 @@ class GaussianProcessLogLikelihoodMCMC:
                 noise = jnp.full((num_noise,), NOISELESS_VALUE,
                                  dtype=theta.dtype)
             lml = lik_mod.log_marginal_likelihood(
-                kernel(hyperparameters=cov_hyps), noise, x, y, derivs)
+                kernel(hyperparameters=cov_hyps), noise, x, y, derivs,
+                point_noise=point_noise)
             val = lp + lml
             return jnp.where(in_bounds & jnp.isfinite(val), val, -jnp.inf)
 
@@ -274,7 +332,8 @@ class GaussianProcessLogLikelihoodMCMC:
         self._models = fit_gp_ensemble(
             self.kernel_name, jnp.asarray(cov_hypers),
             jnp.asarray(noises), self._data.points_sampled,
-            self._data.points_sampled_value, self._derivatives)
+            self._data.points_sampled_value, self._derivatives,
+            bucket=self.bucket)
 
     # -- accessors (reference API parity) ---------------------------------
     @property
@@ -304,4 +363,5 @@ class GaussianProcessLogLikelihoodMCMC:
             self._models = fit_gp_ensemble(
                 self.kernel_name, jnp.asarray(self._hypers),
                 jnp.asarray(self._noises), self._data.points_sampled,
-                self._data.points_sampled_value, self._derivatives)
+                self._data.points_sampled_value, self._derivatives,
+                bucket=self.bucket)

@@ -209,3 +209,65 @@ def test_map_optimize_end_to_end(rng):
     ll.optimize(num_restarts=2)
     assert ll.is_trained
     assert mcmc.ensemble_size(ll.models) == 1
+
+
+def test_shape_bucketing_padding_is_inert(rng):
+    """A bucketed (padded) fit must match the unpadded fit to ~1/PAD_NOISE."""
+    x, y = _data(rng, n=9)
+    hypers = np.abs(rng.standard_normal((3, 3))) + 0.6
+    noises = np.full((3, 1), 1e-3)
+    plain = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                 y[:, None])
+    padded = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None], bucket=16)
+    assert padded.points_sampled.shape[1] == 16
+
+    from cornell_moe_tpu.models import gp as gp_mod
+    xt = jnp.asarray(rng.standard_normal((5, 2)))
+    mu_a = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(plain))
+    mu_b = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(padded))
+    np.testing.assert_allclose(mu_a, mu_b, rtol=1e-6, atol=1e-7)
+    var_a = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_variance(s, xt))(plain))
+    var_b = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_variance(s, xt))(padded))
+    np.testing.assert_allclose(var_a, var_b, rtol=1e-6, atol=1e-7)
+
+
+def test_shape_bucketing_lml_constant_offset(rng):
+    """Padded LML differs by a theta-independent constant."""
+    from cornell_moe_tpu.models import covariance as cov_mod
+    from cornell_moe_tpu.models import likelihood as lik
+    x, y = _data(rng, n=7)
+    xp, yp, pn, _ = mcmc.pad_training_data(x, y[:, None], 16)
+    offsets = []
+    for hyp in ([1.0, 0.8, 1.1], [1.7, 0.5, 0.9], [0.6, 1.5, 2.0]):
+        cov = cov_mod.make_covariance("matern_2.5", hyp)
+        plain = float(lik.log_marginal_likelihood(
+            cov, jnp.asarray([1e-2]), jnp.asarray(x),
+            jnp.asarray(y)[:, None]))
+        pad = float(lik.log_marginal_likelihood(
+            cov, jnp.asarray([1e-2]), jnp.asarray(xp), jnp.asarray(yp),
+            point_noise=jnp.asarray(pn)))
+        offsets.append(pad - plain)
+    # constant across hyperparameters (MCMC-invariant)
+    np.testing.assert_allclose(offsets, offsets[0], rtol=1e-9)
+
+
+def test_bucketed_training_shapes_stable(rng):
+    """Growing data within a bucket keeps padded shapes identical."""
+    x = rng.random((9, 1)) * 4 - 2
+    y = np.sin(2 * x[:, 0])
+    data = HistoricalData(dim=1)
+    data.append_historical_data(x, y)
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, chain_length=20, burnin_steps=20, n_hypers=8, noisy=False,
+        rng_key=jax.random.PRNGKey(1), bucket=16)
+    ll.train()
+    shape_before = ll.models.points_sampled.shape
+    data.append_historical_data(rng.random((3, 1)) * 4 - 2,
+                                np.zeros(3))
+    ll.train()
+    assert ll.models.points_sampled.shape == shape_before   # 16 still
