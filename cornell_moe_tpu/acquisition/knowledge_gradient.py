@@ -40,7 +40,7 @@ program.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -347,8 +347,16 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     k_su = jax.vmap(lambda sf, u: cov_mod.build_block_covariance(
         state.covariance, sf, (), u, ds))(starts_full, unions)
 
-    mu_starts = state.mean + \
-        jnp.einsum("bsn,bmn->bsm", k_sx, lax.stop_gradient(alphas),
+    # mu'_z over the seed set, factored through the q_ch-dim fantasy
+    # subspace: mu' = mean + k_sx K_inv_y - (k_sx V) z + k_su beta.
+    # Contracting through q_ch (~4) instead of N (~500) per draw cuts the
+    # seeding einsums by ~N/q_ch.
+    base = jnp.einsum("bsn,n->bs", k_sx, state.K_inv_y,
+                      precision=linalg.HIGHEST)
+    ksv = jnp.einsum("bsn,bnq->bsq", k_sx, lax.stop_gradient(v),
+                     precision=linalg.HIGHEST)
+    mu_starts = state.mean + base[:, :, None] - \
+        jnp.einsum("bsq,mq->bsm", ksv, normals,
                    precision=linalg.HIGHEST) + \
         jnp.einsum("bsq,bmq->bsm", k_su, lax.stop_gradient(betas),
                    precision=linalg.HIGHEST)

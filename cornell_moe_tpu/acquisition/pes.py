@@ -31,7 +31,6 @@ TPU-native design
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax

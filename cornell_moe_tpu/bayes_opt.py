@@ -11,8 +11,8 @@ accounting.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ import numpy as np
 
 from cornell_moe_tpu.acquisition import expected_improvement as ei_mod
 from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
-from cornell_moe_tpu.models import gp as gp_mod
 from cornell_moe_tpu.models import mcmc as mcmc_mod
 from cornell_moe_tpu.ops import optimizers
 from cornell_moe_tpu.ops.domains import TensorProductDomain

@@ -7,7 +7,6 @@ multistart_knowledge_gradient_optimization (:224).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +15,6 @@ import numpy as np
 from cornell_moe_tpu.acquisition import expected_improvement as ei_core
 from cornell_moe_tpu.acquisition import knowledge_gradient as kg_core
 from cornell_moe_tpu.compat.interfaces import OptimizableInterface
-from cornell_moe_tpu.ops import optimizers as opt_mod
 from cornell_moe_tpu.ops.domains import TensorProductDomain
 
 

@@ -8,7 +8,7 @@ multistart_knowledge_gradient_mcmc_optimization (:247).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from cornell_moe_tpu.compat.interfaces import OptimizerInterface
-from cornell_moe_tpu.ops.optimizers import (GradientDescentParameters,
-                                            NewtonParameters)
 from cornell_moe_tpu.ops import optimizers as opt_mod
+from cornell_moe_tpu.ops.optimizers import (  # noqa: F401 (re-exported)
+    GradientDescentParameters, NewtonParameters)
 
 __all__ = [
     "GradientDescentParameters", "NewtonParameters", "NullParameters",

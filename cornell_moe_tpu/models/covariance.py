@@ -32,7 +32,7 @@ and matrices are point-major/channel-minor (gpp_math.cpp:391-417).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ serial loop (gpp_knowledge_gradient_mcmc_optimization.cpp:137-143).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

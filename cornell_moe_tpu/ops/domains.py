@@ -8,7 +8,6 @@ loops per coordinate, gpp_domain.cpp:64-110).
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ The objective convention is MAXIMIZATION (as in the reference: EI, KG, and
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,13 +17,12 @@ uses the Gaussian measure even for its Matérn GPs.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from cornell_moe_tpu.models.covariance import (MaternNu2p5,
-                                               SquareExponential)
+from cornell_moe_tpu.models.covariance import MaternNu2p5
 from cornell_moe_tpu.models.gp import GaussianProcessState
 from cornell_moe_tpu.ops import linalg, optimizers
 

@@ -81,7 +81,6 @@ def restore_mcmc_model(path: str, prior=None, rng_key=None):
     The walker positions resume the chain where it left off: a restored
     model skips burn-in on its next train() call.
     """
-    import jax
     import jax.numpy as jnp
 
     from cornell_moe_tpu.models.mcmc import GaussianProcessLogLikelihoodMCMC

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from collections import namedtuple
 
-import jax
 import numpy as np
 
 ClosedInterval = namedtuple("ClosedInterval", ["min", "max"])

@@ -15,7 +15,6 @@ which this image lacks; it raises with instructions unless both exist.
 
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np

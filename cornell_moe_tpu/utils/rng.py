@@ -16,7 +16,6 @@ from __future__ import annotations
 import time
 
 import jax
-import numpy as np
 
 
 class RandomnessSourceContainer:
