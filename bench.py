@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cornell_moe_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
     from cornell_moe_tpu.acquisition.expected_improvement import (
         draw_antithetic_normals)

@@ -119,6 +119,8 @@ def run_PES(target_function, x_minimum, x_maximum, dimension,
     writes the reference's resumable artifacts per iteration.
     """
     del sampling_method, number_of_features, optimization_method  # fixed
+    from cornell_moe_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     key = jax.random.PRNGKey(0 if seed is None else seed)
     bounds = np.stack([np.asarray(x_minimum, float),
                        np.asarray(x_maximum, float)], axis=1)

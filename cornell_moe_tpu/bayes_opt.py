@@ -164,6 +164,8 @@ class BayesianOptimizer:
     shape_bucket: int = 16
 
     def __post_init__(self):
+        from cornell_moe_tpu.config import enable_compilation_cache
+        enable_compilation_cache()
         f = self.objective_func
         self.dim = f._dim
         self.num_fidelity = f._num_fidelity

@@ -32,6 +32,30 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+_cache_enabled = False
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    First-iteration compiles of the KG suggest programs run minutes on a
+    remote-TPU link; the persistent cache makes later processes reuse them
+    (measured 11.6s -> 1.6s on a mid-sized program).  Called by the
+    driver, bench, and PES entry points.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+    path = path or os.environ.get(
+        "CORNELL_MOE_JAX_CACHE",
+        os.path.expanduser("~/.cache/cornell_moe_tpu_jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _cache_enabled = True
+
+
 def default_dtype():
     """Return float64 when x64 is enabled, else float32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -96,6 +96,51 @@ def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
     return x
 
 
+def gradient_ascent_line_search(value_and_grad_fn: Callable, domain,
+                                x0: jax.Array,
+                                params: GradientDescentParameters,
+                                max_backtracks: int = 8,
+                                shrink: float = 0.5) -> jax.Array:
+    """Backtracking line-search gradient ascent.
+
+    Counterpart of GradientDescentOptimizationLineSearch
+    (gpp_optimization.hpp:707) — the optimizer the reference's inner
+    posterior-mean polish uses: propose ``alpha_i * grad`` (domain-limited),
+    halve the step while the objective does not improve, with a fixed
+    backtrack budget so the whole search jits as a lax.scan.
+    """
+    def step(carry, i):
+        x, v = carry
+        _, g = value_and_grad_fn(x)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+        dx0 = domain.limit_update(params.max_relative_change, x,
+                                  alpha * g)
+
+        def backtrack(carry, _):
+            dx, accepted = carry
+            x_try = x + dx
+            v_try, _ = value_and_grad_fn(x_try)
+            ok = v_try > v
+            # first acceptance wins; afterwards keep the accepted step
+            new_dx = jnp.where(ok & ~accepted, dx, dx * jnp.where(
+                accepted, 1.0, shrink))
+            return (new_dx, accepted | ok), None
+
+        (dx, accepted), _ = lax.scan(
+            backtrack, (dx0, jnp.asarray(False)), None,
+            length=max_backtracks)
+        x_new = jnp.where(accepted, x + dx, x)
+        v_new, _ = value_and_grad_fn(x_new)
+        return (x_new, v_new), None
+
+    v0, _ = value_and_grad_fn(x0)
+    (x, _v), _ = lax.scan(step, (x0, v0),
+                          jnp.arange(params.max_num_steps,
+                                     dtype=x0.dtype))
+    return x
+
+
 def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
                           x0: jax.Array,
                           params: GradientDescentParameters) -> jax.Array:

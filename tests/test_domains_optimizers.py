@@ -163,3 +163,30 @@ def test_newton_polish():
                                          gamma=1.1)
     x = optimizers.newton_optimize(vg, dom, jnp.asarray([1.0, 1.0]), params)
     np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-6)
+
+
+def test_line_search_gradient_ascent():
+    """Backtracking line search: converges on a quadratic and never
+    accepts a worsening step on an adversarial objective."""
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0], [-2.0, 2.0]])
+    target = jnp.asarray([0.5, -0.3])
+
+    def vg(x):
+        return -jnp.sum((x - target) ** 2), -2.0 * (x - target)
+
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=60, max_num_restarts=1,
+        gamma=0.3, pre_mult=2.0, max_relative_change=1.0)
+    x = optimizers.gradient_ascent_line_search(
+        vg, dom, jnp.asarray([-1.5, 1.5]), params)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(target),
+                               atol=1e-2)
+
+    # monotonicity: value at output >= value at start even with a huge
+    # learning rate that plain GD would diverge under
+    params_huge = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=20, max_num_restarts=1,
+        gamma=0.0, pre_mult=500.0, max_relative_change=10.0)
+    x0 = jnp.asarray([-1.5, 1.5])
+    x_ls = optimizers.gradient_ascent_line_search(vg, dom, x0, params_huge)
+    assert float(vg(x_ls)[0]) >= float(vg(x0)[0])
