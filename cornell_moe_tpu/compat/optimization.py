@@ -96,11 +96,12 @@ class GradientDescentOptimizer(_OptimizerBase):
         vg = self._value_and_grad_fn()
 
         def wrapped(x):
+            dt = x.dtype
             v, g = jax.pure_callback(
-                lambda xv: tuple(np.asarray(t, dtype=np.float64)
+                lambda xv: tuple(np.asarray(t, dtype=dt)
                                  for t in vg(np.asarray(xv))),
-                (jax.ShapeDtypeStruct((), jnp.float64),
-                 jax.ShapeDtypeStruct(x.shape, jnp.float64)), x)
+                (jax.ShapeDtypeStruct((), dt),
+                 jax.ShapeDtypeStruct(x.shape, dt)), x)
             return v, g
         return wrapped
 

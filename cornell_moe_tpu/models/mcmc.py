@@ -225,6 +225,7 @@ class GaussianProcessLogLikelihoodMCMC:
         self._key = rng_key if rng_key is not None else \
             jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._models: Optional[gp_mod.GaussianProcessState] = None
+        self.hypers = None
         self._hypers = None
         self._noises = None
 
@@ -317,6 +318,10 @@ class GaussianProcessLogLikelihoodMCMC:
         self._finalize_models()
 
     def _finalize_models(self) -> None:
+        if getattr(self, "hypers", None) is None:
+            raise RuntimeError(
+                "no hyperparameter samples available: call train() or "
+                "optimize() with do_optimize=True first")
         num_noise = 1 + len(self._derivatives)
         samples = np.asarray(self.hypers)
         keep = ~np.any((samples < -LOG_BOUND) | (samples > LOG_BOUND),

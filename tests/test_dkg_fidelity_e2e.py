@@ -73,3 +73,39 @@ def test_continuous_fidelity_end_to_end():
     # recommendation pins fidelity to 1
     assert np.isclose(h["recommended"][2], 1.0)
     assert np.isfinite(h["true_value"])
+
+
+def test_dei_with_derivative_observations(rng=np.random.default_rng(0)):
+    """d-EI: EI machinery over a derivative-observed GP (analytic + MC +
+    multistart), the Wu et al. 2017 d-EI setting."""
+    import jax
+    from cornell_moe_tpu.acquisition import expected_improvement as ei
+    from cornell_moe_tpu.models import covariance as cov_mod
+    from cornell_moe_tpu.models import gp
+    from cornell_moe_tpu.ops.domains import TensorProductDomain
+
+    x = np.linspace(-1.8, 1.8, 7)[:, None]
+    y = np.stack([np.sin(2 * x[:, 0]), 2 * np.cos(2 * x[:, 0])], axis=1)
+    cov = cov_mod.make_covariance("matern_2.5", [1.0, 0.6])
+    state = gp.fit_gp(cov, jnp.asarray([1e-4, 1e-4]), jnp.asarray(x),
+                      jnp.asarray(y), derivatives=(0,))
+    best = float(y[:, 0].min())
+
+    a = float(ei.analytic_expected_improvement(
+        state, jnp.asarray([[0.9]]), best))
+    assert a >= 0 and np.isfinite(a)
+
+    normals = ei.draw_normals(jax.random.PRNGKey(0), 20000, 1)
+    mc = float(ei.monte_carlo_expected_improvement(
+        state, jnp.asarray([[0.9]]), None, best, normals))
+    np.testing.assert_allclose(mc, a, rtol=0.1, atol=2e-3)
+
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    from cornell_moe_tpu.ops import optimizers
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=30, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.4)
+    pt = ei.multistart_expected_improvement_optimization(
+        jax.random.PRNGKey(1), state, dom, 1, params)
+    assert pt.shape == (1, 1)
+    assert float(ei.analytic_expected_improvement(state, pt, best)) > 0
