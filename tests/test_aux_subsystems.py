@@ -90,6 +90,7 @@ def test_phase_timer_and_logging(tmp_path, caplog):
     assert any("suggest took" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_cifar10_synthetic_objective():
     f = CIFAR10(epochs=1, subset=300)
     assert f._dim == 5
@@ -110,6 +111,7 @@ def test_kissgp_raises_without_octave():
         f.evaluate(np.array([0.0, 0.0, 0.0]))
 
 
+@pytest.mark.slow
 def test_bayes_opt_checkpoint_resume(tmp_path):
     from cornell_moe_tpu import bayes_opt
     from cornell_moe_tpu.ops import optimizers

@@ -138,6 +138,7 @@ def test_expected_improvement_compat(rng):
     assert vals.shape == (7,)
 
 
+@pytest.mark.slow
 def test_posterior_mean_and_kg_compat(rng):
     gp, x, y = _make_gp(rng, n=8)
     ps = kg_c.PosteriorMean(gp)
@@ -174,6 +175,7 @@ def test_posterior_mean_and_kg_compat(rng):
     assert best.shape == (1, 1)
 
 
+@pytest.mark.slow
 def test_mcmc_classes_compat(rng):
     data = HistoricalData(dim=1)
     x = np.sort(rng.random(8) * 4 - 2)[:, None]

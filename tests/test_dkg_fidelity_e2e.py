@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cornell_moe_tpu import bayes_opt
 from cornell_moe_tpu.ops import optimizers
@@ -12,6 +13,7 @@ FAST = optimizers.GradientDescentParameters(
     num_steps_averaged=2, gamma=0.7, pre_mult=1.0, max_relative_change=0.5)
 
 
+@pytest.mark.slow
 def test_dkg_end_to_end():
     """KG loop on Branin with observed gradients (d-KG, Wu et al. 2017)."""
     f = sf.BraninWithDerivatives()
@@ -55,6 +57,7 @@ def test_derivative_observations_sharpen_model():
     assert err_d < err_v
 
 
+@pytest.mark.slow
 def test_continuous_fidelity_end_to_end():
     f = sf.BraninFidelity()
     assert f._num_fidelity == 1

@@ -149,6 +149,7 @@ def _small_bo(method, **kw):
         sgd_params=fast, verbose=False, **kw)
 
 
+@pytest.mark.slow
 def test_bo_loop_ei():
     bo = _small_bo("EI")
     history = bo.run(num_iterations=1)
@@ -160,6 +161,7 @@ def test_bo_loop_ei():
     assert bo.model._data.num_sampled == 3 + 2
 
 
+@pytest.mark.slow
 def test_bo_loop_kg():
     bo = _small_bo("KG")
     history = bo.run(num_iterations=1)

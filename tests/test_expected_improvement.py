@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from cornell_moe_tpu.acquisition import expected_improvement as ei
@@ -129,6 +130,7 @@ def test_multistart_ei_optimization_improves(rng):
     assert best_ei >= np.quantile(grid_ei, 0.99) - 1e-9
 
 
+@pytest.mark.slow
 def test_qei_optimization_spreads_points(rng):
     state, x, y = _gp_1d(rng)
     params = optimizers.GradientDescentParameters(
@@ -152,6 +154,7 @@ def test_kriging_and_constant_liar_policies(rng):
     assert val == 3.25 and noise == 0.1
 
 
+@pytest.mark.slow
 def test_heuristic_ei_returns_q_distinct_points(rng):
     state, x, y = _gp_1d(rng)
     params = optimizers.GradientDescentParameters(

@@ -4,6 +4,7 @@ brute-force parity on a tiny case, MCMC averaging, fidelity cost."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
 from cornell_moe_tpu.acquisition.expected_improvement import (
@@ -94,6 +95,7 @@ def test_kg_matches_bruteforce_discrete(rng):
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_kg_gradient_ping(rng):
     state, x, y = _gp_1d(rng)
     dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
@@ -181,6 +183,7 @@ def test_kg_mcmc_averaging(rng):
     np.testing.assert_allclose(avg, np.mean(singles), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_multistart_kg_optimization_runs(rng):
     state, x, y = _gp_1d(rng, n=6)
     dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
@@ -211,6 +214,7 @@ def test_batched_kg_matches_single(rng):
     np.testing.assert_allclose(batched, singles, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_batched_kg_mcmc_value_and_grad(rng):
     state_a, x, y = _gp_1d(rng)
     hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])

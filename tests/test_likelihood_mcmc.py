@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from cornell_moe_tpu.models import covariance as cov_mod
@@ -174,6 +175,7 @@ def test_gp_ensemble_stacking(rng):
         np.asarray(gp_mod.posterior_mean(single, xt)), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_mcmc_training_end_to_end(rng):
     """Short-chain end-to-end train(): finite models, sane hyper ranges."""
     x = rng.random((12, 1)) * 4 - 2
@@ -256,6 +258,7 @@ def test_shape_bucketing_lml_constant_offset(rng):
     np.testing.assert_allclose(offsets, offsets[0], rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_bucketed_training_shapes_stable(rng):
     """Growing data within a bucket keeps padded shapes identical."""
     x = rng.random((9, 1)) * 4 - 2

@@ -4,6 +4,7 @@ acquisition behavior, driver smoke test."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cornell_moe_tpu.acquisition import pes as pes_mod
 from cornell_moe_tpu.acquisition import pes_driver
@@ -126,6 +127,7 @@ def test_sample_hypers_shapes(rng):
     assert bool(jnp.all(noise > 0)) and bool(jnp.all(sigma > 0))
 
 
+@pytest.mark.slow
 def test_run_pes_smoke(tmp_path):
     def quad(p):
         return float(np.sum((np.asarray(p) - 0.3) ** 2))
