@@ -183,6 +183,10 @@ def evaluate_expected_improvement_at_point_list(
     if use_analytic:
         return jax.vmap(lambda b: analytic_expected_improvement(
             state, b, best_so_far))(pts)
+    if key is None:
+        # deterministic default (CRN across calls), mirroring the
+        # reference's reset-to-most-recent-seed discipline
+        key = jax.random.PRNGKey(0)
     normals = draw_normals(key, num_mc_iterations, q + p,
                            dtype=pts.dtype)
     return jax.vmap(lambda b: monte_carlo_expected_improvement(

@@ -297,9 +297,15 @@ class BayesianOptimizer:
     def resume(self, path: Optional[str] = None):
         """Restore the model (data + walker state) from a checkpoint;
         returns the saved metadata (e.g. the last completed iteration)."""
+        import jax.numpy as jnp
+
         from cornell_moe_tpu.utils import checkpoint as ckpt
-        self.model, manifest = ckpt.restore_mcmc_model(
-            path or self.checkpoint_path)
+        self.model, manifest, arrays = ckpt.restore_mcmc_model(
+            path or self.checkpoint_path, return_arrays=True)
+        if "rng_key" in arrays:
+            # restore the driver's random stream so a resumed run's
+            # suggestions match an uninterrupted one
+            self._key = jnp.asarray(arrays["rng_key"])
         self.capital_so_far = manifest["metadata"].get("capital", 0.0)
         return manifest["metadata"]
 

@@ -276,8 +276,10 @@ def build_covariance_matrix_with_noise(
             k = pk.pallas_covariance_matrix(
                 jnp.asarray(points), jnp.asarray(points),
                 cov.hyperparameters, kernel_name)
-            noise = jnp.asarray(noise_variance, k.dtype)[0]
-            return k + noise * jnp.eye(n, dtype=k.dtype)
+            noise = jnp.asarray(noise_variance, k.dtype)
+            if noise.ndim == 2:   # per-point (n, 1+m): bucket-pad noise
+                return k + jnp.diag(noise.reshape(-1))
+            return k + noise[0] * jnp.eye(n, dtype=k.dtype)
     k = build_covariance_matrix(cov, points, derivatives)
     noise = jnp.asarray(noise_variance, k.dtype)
     if noise.ndim == 2:          # per-point per-channel (n, 1+m)

@@ -41,6 +41,8 @@ def save_checkpoint(path: str, historical_data, mcmc_model=None,
             "burnin_steps": mcmc_model.burnin_steps,
             "noisy": mcmc_model.noisy,
             "kernel_name": mcmc_model.kernel_name,
+            "derivatives": list(mcmc_model.derivatives),
+            "bucket": mcmc_model.bucket,
         }
         if mcmc_model.p0 is not None:
             arrays["mcmc_walker_positions"] = np.asarray(mcmc_model.p0)
@@ -75,11 +77,16 @@ def load_checkpoint(path: str):
     return data, manifest, arrays
 
 
-def restore_mcmc_model(path: str, prior=None, rng_key=None):
+def restore_mcmc_model(path: str, prior=None, rng_key=None,
+                       return_arrays: bool = False):
     """Rebuild a GaussianProcessLogLikelihoodMCMC from a checkpoint.
 
     The walker positions resume the chain where it left off: a restored
-    model skips burn-in on its next train() call.
+    model skips burn-in on its next train() call.  Derivative channels and
+    the shape bucket are restored from the manifest so a resumed d-KG run
+    refits with identical value-channel shapes and compiled programs.
+    With ``return_arrays`` the raw checkpoint arrays (incl. the driver
+    ``rng_key``) are returned as a third element.
     """
     import jax.numpy as jnp
 
@@ -90,15 +97,19 @@ def restore_mcmc_model(path: str, prior=None, rng_key=None):
     if cfg is None:
         raise ValueError(f"{path} holds no MCMC state")
     model = GaussianProcessLogLikelihoodMCMC(
-        data, prior=prior, chain_length=cfg["chain_length"],
+        data, derivatives=tuple(cfg.get("derivatives", ())),
+        prior=prior, chain_length=cfg["chain_length"],
         burnin_steps=cfg["burnin_steps"], n_hypers=cfg["n_hypers"],
         noisy=cfg["noisy"], kernel_name=cfg["kernel_name"],
         rng_key=rng_key if rng_key is not None else
-        jnp.asarray(arrays["mcmc_key"]))
+        jnp.asarray(arrays["mcmc_key"]),
+        bucket=int(cfg.get("bucket", 0)))
     model.burned = cfg["burned"]
     if "mcmc_walker_positions" in arrays:
         model.p0 = jnp.asarray(arrays["mcmc_walker_positions"])
     if "mcmc_hypers" in arrays:
         model.hypers = np.asarray(arrays["mcmc_hypers"])
         model._finalize_models()
+    if return_arrays:
+        return model, manifest, arrays
     return model, manifest

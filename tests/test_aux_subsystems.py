@@ -142,3 +142,41 @@ def test_bayes_opt_checkpoint_resume(tmp_path):
     bo2.run(num_iterations=2, start_iteration=meta["iteration"] + 1)
     assert bo2.model._data.num_sampled == 5
     assert "suggest" in bo2.timer.summary()
+
+
+def test_checkpoint_restores_derivatives_and_bucket(tmp_path, rng):
+    """d-KG checkpoints must round-trip derivative channels + bucket."""
+    n, dim = 6, 2
+    data = HistoricalData(dim=dim, num_derivatives=dim)
+    x = rng.random((n, dim))
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 0]), -np.sin(x[:, 1])],
+                 axis=1)
+    data.append_historical_data(x, y)
+    model = mcmc_mod.GaussianProcessLogLikelihoodMCMC(
+        data, derivatives=(0, 1), chain_length=10, burnin_steps=10,
+        n_hypers=8, noisy=False, rng_key=jax.random.PRNGKey(0), bucket=4)
+    model.train()
+    path = str(tmp_path / "dkg.ckpt")
+    checkpoint.save_checkpoint(path, data, mcmc_model=model)
+
+    restored, manifest = checkpoint.restore_mcmc_model(path)
+    assert restored.derivatives == (0, 1)
+    assert restored.bucket == 4
+    assert restored.is_trained
+    # resumed training continues with the saved walker dimensionality
+    restored.train()
+    assert restored.is_trained
+
+
+def test_checkpoint_restore_returns_rng_key(tmp_path, rng):
+    data = _data(rng)
+    model = mcmc_mod.GaussianProcessLogLikelihoodMCMC(
+        data, chain_length=10, burnin_steps=10, n_hypers=8, noisy=False,
+        rng_key=jax.random.PRNGKey(0))
+    model.train()
+    path = str(tmp_path / "key.ckpt")
+    checkpoint.save_checkpoint(path, data, mcmc_model=model,
+                               rng_key=jax.random.PRNGKey(11))
+    _, _, arrays = checkpoint.restore_mcmc_model(path, return_arrays=True)
+    np.testing.assert_array_equal(arrays["rng_key"],
+                                  np.asarray(jax.random.PRNGKey(11)))

@@ -44,3 +44,29 @@ def test_builder_with_noise_pallas_flag(rng):
     b = cov_mod.build_covariance_matrix_with_noise(
         cov, pts, (), jnp.asarray([1e-3]), use_pallas="never")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_builder_with_noise_pallas_per_point_noise(rng, monkeypatch):
+    """Bucket-padded (n, 1) per-point noise must survive the Pallas branch.
+
+    Regression test: the fast path used to collapse noise to noise[0],
+    silently dropping the PAD_NOISE=1e8 on shape-bucket dummy points.
+    """
+    import functools
+
+    monkeypatch.setattr(
+        pk, "pallas_covariance_matrix",
+        functools.partial(pk.pallas_covariance_matrix, interpret=True))
+    hypers = np.array([1.0, 0.8, 1.2], dtype=np.float32)
+    cov = cov_mod.make_covariance("matern_2.5", hypers)
+    pts = jnp.asarray(rng.standard_normal((48, 2)), jnp.float32)
+    noise = jnp.full((48, 1), 1e-3, jnp.float32).at[-8:].set(1e8)
+
+    got = cov_mod.build_covariance_matrix_with_noise(
+        cov, pts, (), noise, use_pallas="always")
+    expected = cov_mod.build_covariance_matrix_with_noise(
+        cov, pts, (), noise, use_pallas="never")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
+    # the padded points kept their huge noise on the diagonal
+    assert float(got[-1, -1]) > 1e7
