@@ -95,13 +95,18 @@ def main():
     starts = rep.generate_latin_hypercube_points(
         jax.random.PRNGKey(1), outer_params.num_multistarts).astype(dtype)
 
+    # chunk 25 measured best on v5e (50: 3.05s, 100: 3.45s, 10: 3.09s
+    # vs 25: 2.96s at the r2 state): the fused descent kernel serializes
+    # over unions anyway, and small chunks pipeline better
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
     def suggest(starts):
         def bvg(pts_batch):
             return kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
                 states, pts_batch, discrete, normals, domain,
                 inner_params, best_so_far, q)
         res = optimizers.multistart_optimize_batched(
-            bvg, rep, starts, outer_params, chunk_size=25)
+            bvg, rep, starts, outer_params, chunk_size=chunk)
         return res.best_point, res.best_value
 
     suggest_jit = jax.jit(suggest)

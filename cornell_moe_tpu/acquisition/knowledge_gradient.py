@@ -294,7 +294,7 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
     repair = lax.stop_gradient(jnp.maximum(0.0, -1.5 * min_diag))
     var_u = var_u + (noise[None, :] + repair[:, None])[..., None] * \
         jnp.eye(q_ch, dtype=var_u.dtype)
-    chol_u = jnp.linalg.cholesky(var_u)                # (B, q_ch, q_ch)
+    chol_u = linalg.cholesky_small(var_u)              # (B, q_ch, q_ch)
 
     # w = K^-1 k = L^-T va, reusing the refined va (saves a full
     # cho_solve refinement chain: 3 matmuls instead of 6)
@@ -302,9 +302,292 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
     w0 = linalg.hdot(state.inv_chol_K.T, va_flat)
     r2 = va_flat - linalg.hdot(state.chol_K.T, w0)
     w = (w0 + linalg.hdot(state.inv_chol_K.T, r2)).reshape(n_ch, b, q_ch)
-    v = jax.vmap(lambda cu, wb: linalg.solve_triangular(
-        cu, wb.T, lower=True).T)(chol_u, jnp.moveaxis(w, 1, 0))
+    v = jnp.swapaxes(linalg.solve_triangular_small(
+        chol_u, jnp.swapaxes(jnp.moveaxis(w, 1, 0), -1, -2)), -1, -2)
     return mu_u, chol_u, v
+
+
+def _kernel_rows_flat(state: GaussianProcessState, x_flat: jax.Array
+                      ) -> jax.Array:
+    """Training-channel covariance rows k(x, X_train) for P query points.
+
+    Returns (P, N*(1+m)) in the reference point-major/channel-minor layout
+    (row b of BuildMixCovarianceMatrix, gpp_math.cpp:391-460).  The squared
+    scaled distance is computed in norm-expansion form so the cross term is
+    one (P, dim) x (dim, N) MXU matmul instead of a (P, N, dim) broadcast
+    tensor — the form that keeps the KG inner descent (P ~ 10^5 points per
+    GD step) on the MXU.
+    """
+    cov = state.covariance
+    pts = state.points_sampled
+    # diff-form scaled distance: at BayesOpt dims (2-10) the (P, N, d)
+    # broadcast is pure elementwise work that XLA fuses into the kernel
+    # fields, so nothing (P, N)-sized hits HBM before the contraction
+    # matmuls; a norm-expansion cross-term matmul was tried and removed —
+    # its (P, N) output cannot fuse into the downstream dots and doubled
+    # the descent's HBM traffic.
+    xs = x_flat / cov.lengths
+    ws = pts / cov.lengths
+    diff = xs[:, None, :] - ws[None, :, :]
+    s = jnp.sum(diff * diff, axis=-1)
+    f0 = cov._f0(s)
+    dv = state.derivatives
+    if not dv:
+        return f0
+    p = cov._p(s)
+    inv_l2 = 1.0 / cov.lengths**2
+    cols = [f0]
+    for c in dv:
+        t_c = (x_flat[:, c, None] - pts[None, :, c]) * inv_l2[c]
+        cols.append(p * t_c)                               # k01 block
+    return jnp.stack(cols, axis=-1).reshape(
+        x_flat.shape[0], pts.shape[0] * (1 + len(dv)))
+
+
+def _union_rows(cov, x_full: jax.Array, unions: jax.Array,
+                derivatives_to_sample: Sequence[int]) -> jax.Array:
+    """k(x, U_b) rows: x_full (B, M, dim), unions (B, q, dim) -> (B, M, q_ch).
+
+    Small tensors (q ~ 4), so the broadcast diff form is fine here.
+    """
+    ds = tuple(int(i) for i in derivatives_to_sample)
+    inv_l2 = 1.0 / cov.lengths**2
+    diff = x_full[:, :, None, :] - unions[:, None, :, :]   # (B, M, q, d)
+    t = diff * inv_l2
+    s = jnp.sum(diff * t, axis=-1)                         # (B, M, q)
+    f0 = cov._f0(s)
+    if not ds:
+        return f0
+    p = cov._p(s)
+    cols = [f0] + [p * t[..., c] for c in ds]
+    return jnp.stack(cols, axis=-1).reshape(
+        x_full.shape[0], x_full.shape[1], unions.shape[1] * (1 + len(ds)))
+
+
+def _fantasy_mean_batch(state: GaussianProcessState, x: jax.Array,
+                        unions: jax.Array, v: jax.Array, betas: jax.Array,
+                        normals: jax.Array,
+                        derivatives_to_sample: Sequence[int],
+                        num_fidelity: int) -> jax.Array:
+    """mu'_z at x (B, M, d_opt) for every (union b, draw m) -> (B, M).
+
+    Factored form (module docstring): mu' = mean + k_x K^-1 y
+    - (k_x V_b) z_m + k_xu beta_{bm}.  Never materializes the (B, M, N)
+    per-draw representer weights — the inner descent reads only V
+    (B, N_ch, q_ch) and beta (B, M, q_ch) per step.
+    """
+    b, m, dim_opt = x.shape
+    dim = state.dim
+    if num_fidelity:
+        ones = jnp.ones(x.shape[:-1] + (num_fidelity,), x.dtype)
+        xf = jnp.concatenate([x, ones], axis=-1)
+    else:
+        xf = x
+    k_rows = _kernel_rows_flat(state, xf.reshape(b * m, dim)).reshape(
+        b, m, -1)                                          # (B, M, N_ch)
+    # one pass over k_rows: W = [K^-1 y | V] so the K^-1 y dot and the
+    # fantasy-subspace projection share the contraction
+    w_all = jnp.concatenate([
+        jnp.broadcast_to(state.K_inv_y[None, :, None],
+                         v.shape[:2] + (1,)), v], axis=-1)
+    out = jnp.einsum("bmn,bnw->bmw", k_rows, w_all,
+                     precision=linalg.HIGHEST)
+    t1 = out[..., 0]
+    kv = out[..., 1:]
+    t2 = jnp.sum(kv * normals[None, :, :], axis=-1)        # (B, M)
+    k_u = _union_rows(state.covariance, xf, unions, derivatives_to_sample)
+    t3 = jnp.sum(k_u * betas, axis=-1)                     # (B, M)
+    return state.mean + t1 - t2 + t3
+
+
+# Gate for the fused Pallas descent kernel: "auto" uses it on TPU/f32,
+# "never" forces the XLA einsum path (the equivalence oracle), "always"
+# forces it (tests use interpret mode through _pallas_descent_bvg).
+DESCENT_PALLAS = "auto"
+
+
+def _descent_kernel_name(state: GaussianProcessState):
+    """Resolve the Pallas descent gate; None means use the XLA path."""
+    if DESCENT_PALLAS == "never" or \
+            state.points_sampled.dtype != jnp.float32:
+        return None
+    name = next((nm for nm, cls in cov_mod.COVARIANCE_TYPES.items()
+                 if type(state.covariance) is cls), None)
+    if name is None:
+        return None
+    if DESCENT_PALLAS == "always":
+        return name
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return name if on_tpu else None
+
+
+def _pack_descent_inputs(state: GaussianProcessState, unions_f: jax.Array,
+                         v_f: jax.Array, betas_f: jax.Array,
+                         normals: jax.Array, kernel_name: str):
+    """Pack the Pallas descent operands (scaled coords, folded amplitude).
+
+    Returns (ws_pad, wt_pad, beta_pad, z_pad, us_sc, mp).  The moment
+    weights are W = c*[K^-1 y | V | (.)*ws_dd] with c absorbing the kernel
+    amplitude so the in-kernel field is amplitude-free.
+    """
+    cov = state.covariance
+    lengths = cov.lengths
+    b, q, d = unions_f.shape
+    n = state.points_sampled.shape[0]
+    m = normals.shape[0]
+    tile = 128
+    np_ = -(-n // tile) * tile
+    mp = -(-m // tile) * tile
+
+    c = (5.0 / 3.0) * cov.alpha if kernel_name == "matern_2.5" \
+        else cov.alpha
+    ws_sc = (state.points_sampled / lengths).T           # (d, N)
+    ws_pad = jnp.pad(ws_sc, ((0, 0), (0, np_ - n)),
+                     constant_values=1e6).astype(jnp.float32)
+
+    u_rows = jnp.concatenate([
+        jnp.broadcast_to(state.K_inv_y[None, None, :], (b, 1, n)),
+        jnp.swapaxes(v_f, -1, -2)], axis=1)              # (B, 1+q, N)
+    moments = (u_rows[:, :, None, :] * ws_sc[None, None, :, :]
+               ).reshape(b, (1 + q) * d, n)
+    wt = (c * jnp.concatenate([u_rows, moments], axis=1))
+    wr = wt.shape[1]
+    wr_pad = -(-wr // 8) * 8
+    wt_pad = jnp.pad(wt, ((0, 0), (0, wr_pad - wr), (0, np_ - n))
+                     ).astype(jnp.float32)
+    z_pad = jnp.pad(normals.T, ((0, 0), (0, mp - m))).astype(jnp.float32)
+    beta_pad = jnp.pad(jnp.swapaxes(c * betas_f, -1, -2),
+                       ((0, 0), (0, 0), (0, mp - m))).astype(jnp.float32)
+    us_sc = (unions_f / lengths).astype(jnp.float32)     # (B, q, d)
+    return ws_pad, wt_pad, beta_pad, z_pad, us_sc, mp
+
+
+def _pallas_descent_bvg(state: GaussianProcessState, unions_f: jax.Array,
+                        v_f: jax.Array, betas_f: jax.Array,
+                        normals: jax.Array, kernel_name: str,
+                        interpret: bool = False):
+    """Build the descent bvg backed by the per-step Pallas kernel."""
+    from cornell_moe_tpu.ops import pallas_kernels as pk
+
+    lengths = state.covariance.lengths
+    m = normals.shape[0]
+    ws_pad, wt_pad, beta_pad, z_pad, us_sc, mp = _pack_descent_inputs(
+        state, unions_f, v_f, betas_f, normals, kernel_name)
+
+    def bvg(x):                                          # (B, M, d)
+        xs = jnp.swapaxes(x / lengths, -1, -2)           # (B, d, M)
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, mp - m))).astype(jnp.float32)
+        g_sc = pk.pallas_descent_grad(xs, ws_pad, wt_pad, beta_pad,
+                                      z_pad, us_sc, kernel_name,
+                                      interpret=interpret)
+        g = jnp.swapaxes(g_sc[:, :, :m], -1, -2).astype(x.dtype) / lengths
+        return jnp.zeros(x.shape[:2], x.dtype), g
+
+    return bvg
+
+
+def _pallas_descent_full(state: GaussianProcessState, unions_f: jax.Array,
+                         v_f: jax.Array, betas_f: jax.Array,
+                         normals: jax.Array, x0: jax.Array, domain,
+                         params, kernel_name: str,
+                         interpret: bool = False) -> jax.Array:
+    """Whole inner descent (gradient_ascent_batch semantics) in one
+    Pallas kernel per outer GD step.  Returns x_star (B, M, d)."""
+    from cornell_moe_tpu.ops import pallas_kernels as pk
+
+    lengths = state.covariance.lengths
+    m = normals.shape[0]
+    ws_pad, wt_pad, beta_pad, z_pad, us_sc, mp = _pack_descent_inputs(
+        state, unions_f, v_f, betas_f, normals, kernel_name)
+    geom = jnp.stack([
+        jnp.asarray(domain.lower) / lengths,
+        jnp.asarray(domain.upper) / lengths,
+        1.0 / lengths**2]).astype(jnp.float32)           # (3, d)
+    xs0 = jnp.swapaxes(x0 / lengths, -1, -2)
+    xs0 = jnp.pad(xs0, ((0, 0), (0, 0), (0, mp - m))).astype(jnp.float32)
+    avg_n = max(int(params.num_steps_averaged), 0)
+    steps = int(params.max_num_steps)
+    if not (0 < avg_n <= steps):
+        avg_n = 0
+    xs_star = pk.pallas_descent_run(
+        xs0, ws_pad, wt_pad, beta_pad, z_pad, us_sc, geom, kernel_name,
+        steps=steps, restarts=max(int(params.max_num_restarts), 1),
+        avg_n=avg_n, gamma=float(params.gamma),
+        pre_mult=float(params.pre_mult),
+        mrc=float(params.max_relative_change), interpret=interpret)
+    return (jnp.swapaxes(xs_star[:, :, :m], -1, -2) * lengths
+            ).astype(x0.dtype)
+
+
+def _make_descent_grad_fn(state: GaussianProcessState, unions_f: jax.Array,
+                          v_f: jax.Array, betas_f: jax.Array,
+                          normals: jax.Array):
+    """Analytic ascent-direction function for the frozen inner descent.
+
+    Value-only channels.  Returns ``bvg(x) -> (zeros, grad of -mu')`` for
+    ``x`` of shape (B, M, d).  All union-dependent weights are packed once
+    into ``W`` (B, N, (1+q)(1+d)); each GD step contracts the p(s) field
+    against W in a single einsum.
+
+    Derivation: with w_eff = K^-1 y - V_b z_m,
+        d mu'/dx_i = -sum_n p_n (x_i - X_ni)/l_i^2 w_eff_n
+                     - sum_j p^u_j (x_i - U_ji)/l_i^2 beta_j
+    and sum_n p_n (x_i - X_ni) w_eff_n = x_i * (A w)_0 - (A w)_i where A
+    collects the p-weighted moments  sum_n p_n w_eff_n X_ni.
+
+    On TPU/f32 the whole descent instead runs through the fused Pallas
+    kernel (_pallas_descent_full); this XLA einsum path is the oracle and
+    the f64/CPU path.
+    """
+    cov = state.covariance
+    pts = state.points_sampled                      # (N, d)
+    lengths = cov.lengths
+    inv_l2 = 1.0 / lengths**2
+    b, q, d = unions_f.shape
+    n = pts.shape[0]
+
+    # W columns: [K_inv_y | V (q) | K_inv_y*X_i (d) | V_q*X_i (q*d)]
+    kiy = state.K_inv_y                             # (N,)
+    w_cols = [kiy[None, :, None].repeat(b, axis=0), v_f]
+    w_cols.append((kiy[:, None] * pts)[None].repeat(b, axis=0))  # (B,N,d)
+    w_cols.append((v_f[:, :, :, None] * pts[None, :, None, :]
+                   ).reshape(b, n, q * d))
+    w = jnp.concatenate(w_cols, axis=-1)            # (B, N, (1+q)(1+d))
+
+    ws = pts / lengths                              # scaled training inputs
+
+    def bvg(x):                                     # x: (B, M, d)
+        m = x.shape[1]
+        xs = x / lengths
+        diff = xs[:, :, None, :] - ws[None, None, :, :]   # (B, M, N, d)
+        s = jnp.sum(diff * diff, axis=-1)
+        p = cov._p(s)                               # (B, M, N)
+        a = jnp.einsum("bmn,bnw->bmw", p, w,
+                       precision=linalg.HIGHEST)    # (B, M, (1+q)(1+d))
+        a0 = a[..., :1 + q]                         # p-weighted w_eff sums
+        ax = a[..., 1 + q:].reshape(x.shape[0], m, 1 + q, d)
+        # contract the fantasy draw: w_eff = col0 - cols[1:] @ z_m
+        s0 = a0[..., 0] - jnp.sum(a0[..., 1:] * normals[None], axis=-1)
+        sx = ax[..., 0, :] - jnp.sum(
+            ax[..., 1:, :] * normals[None, :, :, None], axis=-2)
+        grad_train = -(x * s0[..., None] - sx) * inv_l2    # (B, M, d)
+
+        # union term (q points — small, diff form)
+        diff_u = x[:, :, None, :] - unions_f[:, None, :, :]  # (B, M, q, d)
+        t_u = diff_u * inv_l2
+        s_u = jnp.sum(diff_u * t_u, axis=-1)
+        p_u = cov._p(s_u)
+        grad_union = -jnp.sum(
+            (p_u * betas_f)[..., None] * t_u, axis=-2)       # (B, M, d)
+
+        # ascent direction on -mu' = -(dmu'/dx)
+        g = -(grad_train + grad_union)
+        return jnp.zeros(x.shape[:2], x.dtype), g
+
+    return bvg
 
 
 def knowledge_gradient_batch(state: GaussianProcessState,
@@ -316,7 +599,10 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     """KG at B unions at once: (B, q, dim) -> (B,).
 
     Identical estimator to :func:`knowledge_gradient`; requires a state
-    fitted with ``precompute_inverse=True``.
+    fitted with ``precompute_inverse=True``.  All B x n_mc inner
+    posterior-mean descents step in lockstep: each GD step evaluates one
+    (B*n_mc, N_ch) kernel-row block (MXU matmuls via the factored fantasy
+    mean) instead of B*n_mc per-point kernel rows.
     """
     ds = tuple(int(i) for i in derivatives_to_sample)
     b, q, dim = unions.shape
@@ -330,10 +616,9 @@ def knowledge_gradient_batch(state: GaussianProcessState,
         best_so_far, jnp.min(mu_u.reshape(b, q, c)[:, :, 0], axis=1))
 
     # fantasy weights for every (union, draw)
-    betas = jax.vmap(lambda cu: linalg.solve_triangular(
-        cu, normals.T, lower=True, trans=True).T)(chol_u)  # (B, n_mc, q_ch)
-    alphas = state.K_inv_y[None, None, :] - jnp.einsum(
-        "mq,bnq->bmn", normals, v, precision=linalg.HIGHEST)
+    betas = jnp.swapaxes(linalg.solve_triangular_small(
+        chol_u, jnp.broadcast_to(normals.T, (b, q_ch, n_mc)),
+        trans=True), -1, -2)                           # (B, n_mc, q_ch)
 
     # seeding over the discretized set, batched over unions
     starts = jnp.concatenate([
@@ -342,66 +627,80 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     n_s = starts.shape[1]
     starts_full = jax.vmap(jax.vmap(
         lambda p: _pin_fidelity(p, dim, num_fidelity)))(starts)
-    k_sx = gp_mod._mix_cov(
-        state, starts_full.reshape(b * n_s, dim), ()).T.reshape(b, n_s, -1)
-    k_su = jax.vmap(lambda sf, u: cov_mod.build_block_covariance(
-        state.covariance, sf, (), u, ds))(starts_full, unions)
+    k_sx = _kernel_rows_flat(
+        state, starts_full.reshape(b * n_s, dim)).reshape(b, n_s, -1)
+    k_su = _union_rows(state.covariance, starts_full, unions, ds)
 
     # mu'_z over the seed set, factored through the q_ch-dim fantasy
     # subspace: mu' = mean + k_sx K_inv_y - (k_sx V) z + k_su beta.
     # Contracting through q_ch (~4) instead of N (~500) per draw cuts the
-    # seeding einsums by ~N/q_ch.
+    # seeding einsums by ~N/q_ch.  Computed LIVE (differentiable through
+    # v/betas): the selected entry doubles as the mu'(x0) guard value in
+    # the final minimum, saving a separate full live evaluation.
     base = jnp.einsum("bsn,n->bs", k_sx, state.K_inv_y,
                       precision=linalg.HIGHEST)
-    ksv = jnp.einsum("bsn,bnq->bsq", k_sx, lax.stop_gradient(v),
+    ksv = jnp.einsum("bsn,bnq->bsq", k_sx, v,
                      precision=linalg.HIGHEST)
     mu_starts = state.mean + base[:, :, None] - \
         jnp.einsum("bsq,mq->bsm", ksv, normals,
                    precision=linalg.HIGHEST) + \
-        jnp.einsum("bsq,bmq->bsm", k_su, lax.stop_gradient(betas),
+        jnp.einsum("bsq,bmq->bsm", k_su, betas,
                    precision=linalg.HIGHEST)
-    x0_idx = jnp.argmin(mu_starts, axis=1)                  # (B, n_mc)
+    x0_idx = jnp.argmin(lax.stop_gradient(mu_starts), axis=1)  # (B, n_mc)
     x0 = jnp.take_along_axis(starts, x0_idx[..., None], axis=1)
+    mu_x0 = jnp.take_along_axis(mu_starts, x0_idx[:, None, :],
+                                axis=1)[:, 0, :]            # (B, n_mc)
 
+    # --- inner descent: all (B, n_mc) posterior-mean minimizations in
+    # lockstep under the frozen fantasy model (envelope theorem)
     frozen_unions = lax.stop_gradient(unions)
+    v_f = lax.stop_gradient(v)
+    betas_f = lax.stop_gradient(betas)
 
-    grad_channels = tuple(range(dim_opt))
+    x_star = None
+    if not state.derivatives and not ds and num_fidelity == 0:
+        # Fast path: the GD loop consumes only gradients (reference
+        # semantics — the objective is never evaluated during descent), and
+        # for value-only channels the gradient contracts analytically:
+        #   d mu'/dx_i = -sum_n p(s_n) t_ni (K^-1 y - V z)_n  + union term,
+        # with t_ni = (x_i - X_ni)/l_i^2.  Expanding t_ni splits the sum
+        # into moments of the training inputs, so each inner step is ONE
+        # (B, M, N) x (B, N, (1+q_ch)(1+d)) einsum whose LHS field p(s)
+        # fuses into the matmul — no autodiff backward pass, no (P, N)
+        # residuals.  On TPU/f32 the WHOLE descent (steps, LimitUpdate,
+        # Polyak averaging) runs in one fused Pallas kernel.
+        kernel_name = _descent_kernel_name(state)
+        if kernel_name is not None:
+            x_star = _pallas_descent_full(
+                state, frozen_unions, v_f, betas_f, normals, x0, domain,
+                inner_params, kernel_name)
+        else:
+            bvg = _make_descent_grad_fn(state, frozen_unions, v_f,
+                                        betas_f, normals)
+    else:
+        def frozen_neg_mu_sum(x):
+            return -jnp.sum(_fantasy_mean_batch(
+                state, x, frozen_unions, v_f, betas_f, normals, ds,
+                num_fidelity))
 
-    def per_union(union_b, union_f, alpha_b, beta_b, x0_b, bp):
-        def mu_of(x_opt, a, be, u):
-            x = _pin_fidelity(x_opt, dim, num_fidelity)[None]
-            k_xx = cov_mod.build_block_covariance(
-                state.covariance, x, (), state.points_sampled,
-                state.derivatives)[0]
-            k_xu = cov_mod.build_block_covariance(
-                state.covariance, x, (), u, ds)[0]
-            return state.mean + k_xx @ a + k_xu @ be
+        def bvg(x):
+            # each mu_{bm} depends only on x_{bm}, so the summed gradient
+            # is the per-element gradient (only the grad drives the
+            # descent, matching the reference GD loop)
+            g = jax.grad(frozen_neg_mu_sum)(x)
+            return jnp.zeros(x.shape[:2], x.dtype), g
 
-        def per_draw(alpha, beta, x0_one):
-            alpha_f = lax.stop_gradient(alpha)
-            beta_f = lax.stop_gradient(beta)
+    if x_star is None:
+        x_star = optimizers.gradient_ascent_batch(bvg, domain, x0,
+                                                  inner_params)
+    x_star = lax.stop_gradient(x_star)
 
-            def vg(x):
-                # autodiff value_and_grad here beats a hand-fused
-                # value+grad row block: XLA fuses the backward kernel-row
-                # pass without materializing (1+d', N) intermediates per
-                # (restart, draw, step)
-                val, g = jax.value_and_grad(
-                    lambda p: mu_of(p, alpha_f, beta_f, union_f))(x)
-                return -val, -g
-
-            x_star = optimizers.gradient_ascent(vg, domain, x0_one,
-                                                inner_params)
-            x_star = lax.stop_gradient(x_star)
-            best_min = jnp.minimum(
-                mu_of(x_star, alpha, beta, union_b),
-                mu_of(x0_one, alpha, beta, union_b))
-            return bp - best_min
-
-        return jnp.mean(jax.vmap(per_draw)(alpha_b, beta_b, x0_b))
-
-    return jax.vmap(per_union)(unions, frozen_unions, alphas, betas, x0,
-                               best_posterior)
+    # differentiable (live) evaluation at the descent endpoint; the seeding
+    # value at x0 (already live) guards against stray divergence
+    mu_star = _fantasy_mean_batch(state, x_star, unions, v, betas,
+                                  normals, ds, num_fidelity)
+    best_min = jnp.minimum(mu_star, mu_x0)                  # (B, n_mc)
+    return jnp.mean(best_posterior[:, None] - best_min, axis=1)
 
 
 def knowledge_gradient_mcmc_batch(states: GaussianProcessState,

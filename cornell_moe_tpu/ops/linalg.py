@@ -128,6 +128,67 @@ def batched_cholesky(matrices: jax.Array, jitter=0.0) -> jax.Array:
     return jnp.linalg.cholesky(matrices)
 
 
+def cholesky_small(a: jax.Array, max_unrolled: int = 16) -> jax.Array:
+    """Cholesky of tiny SPD matrices (..., k, k), unrolled at trace time.
+
+    XLA's batched Cholesky lowers to a sequential blocked loop with tiny
+    per-step kernels — latency-bound for the (B, q_ch, q_ch) fantasy
+    factorizations KG performs per optimizer step (q_ch ~ 4-16).  The
+    k <= ``max_unrolled`` unroll emits pure elementwise ops over the batch
+    that fuse into neighbouring computations, and is exactly the textbook
+    algorithm so autodiff gives the standard Cholesky derivative chain.
+    Falls back to ``jnp.linalg.cholesky`` for larger k.
+    """
+    k = a.shape[-1]
+    if k > max_unrolled:
+        return jnp.linalg.cholesky(a)
+    zero = jnp.zeros_like(a[..., 0, 0])
+    col: list[list] = [[None] * k for _ in range(k)]
+    for j in range(k):
+        s = a[..., j, j]
+        for p in range(j):
+            s = s - col[j][p] * col[j][p]
+        d = jnp.sqrt(s)
+        col[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, k):
+            s = a[..., i, j]
+            for p in range(j):
+                s = s - col[i][p] * col[j][p]
+            col[i][j] = s * inv_d
+    rows = [jnp.stack([col[i][j] if j <= i else zero for j in range(k)],
+                      axis=-1) for i in range(k)]
+    return jnp.stack(rows, axis=-2)
+
+
+def solve_triangular_small(l: jax.Array, rhs: jax.Array, *,
+                           trans: bool = False,
+                           max_unrolled: int = 16) -> jax.Array:
+    """Solve L x = rhs (or L^T x = rhs) for tiny lower-triangular L.
+
+    ``l`` is (..., k, k) lower, ``rhs`` is (..., k, m); substitution is
+    unrolled at trace time into k batched elementwise steps (see
+    :func:`cholesky_small` for why).  Falls back to
+    ``lax.linalg.triangular_solve`` for k > ``max_unrolled``.
+    """
+    k = l.shape[-1]
+    if k > max_unrolled:
+        return lax.linalg.triangular_solve(
+            l, rhs, left_side=True, lower=True, transpose_a=trans)
+    x: list = [None] * k
+    order = range(k) if not trans else range(k - 1, -1, -1)
+    for j in order:
+        s = rhs[..., j, :]
+        if not trans:
+            for p in range(j):
+                s = s - l[..., j, p, None] * x[p]
+        else:
+            for p in range(j + 1, k):
+                s = s - l[..., p, j, None] * x[p]
+        x[j] = s / l[..., j, j, None]
+    return jnp.stack(x, axis=-2)
+
+
 def symmetrize(matrix: jax.Array) -> jax.Array:
     return 0.5 * (matrix + jnp.swapaxes(matrix, -1, -2))
 

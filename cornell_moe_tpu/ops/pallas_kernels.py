@@ -111,3 +111,245 @@ def pallas_available_for(x: jax.Array, derivatives) -> bool:
         return False
     return (on_tpu and x.dtype == jnp.float32 and len(derivatives) == 0
             and x.shape[0] >= 256)
+
+
+# ---------------------------------------------------------------------------
+# Fused KG inner-descent gradient
+# ---------------------------------------------------------------------------
+#
+# The KG hot loop runs thousands of lockstep posterior-mean descents; each
+# GD step needs only the gradient of the fantasized mean
+#
+#   d mu'/dx = -sum_n P(s_n) (x - X_n)/l^2 w_eff_n  - union term,
+#
+# which contracts into moments of the training inputs: one (Wr, N) x (N, M)
+# matmul against the P field.  XLA keeps ~3 (P, N)-sized HBM round trips per
+# step (diff/s/P materializations feeding the einsum); this kernel computes
+# the field tile-wise in VMEM and fuses the moment contraction, so per step
+# only the (d, M) gradients and the tiny weight blocks touch HBM.
+# No VJP is needed: the descent sits under stop_gradient (envelope theorem).
+
+def _descent_grad_kernel(xs_ref, ws_ref, wt_ref, beta_ref, z_ref, us_ref,
+                         out_ref, *, kernel_name, q, d):
+    """Ascent direction of -mu' in scaled coordinates for one union b.
+
+    xs: (1, d, M) scaled descent points; ws: (d, Np) scaled training pts;
+    wt: (1, Wr, Np) moment weights [c*K^-1y | c*V | (those)*ws_dd];
+    beta: (1, q, M) c-scaled fantasy betas; z: (q, M) normals^T;
+    us: (1, q, d) scaled union coords (SMEM).  Out: (1, d, M).
+    """
+    def us_read(j, dd):
+        return us_ref[0, j, dd]
+
+    out_ref[0] = _field_grad(xs_ref[0], ws_ref[:], wt_ref[0], beta_ref[0],
+                             z_ref[:], us_read, kernel_name=kernel_name,
+                             q=q, d=d)
+
+
+def _field_grad(xs, ws, wt, beta, z, us_read, *, kernel_name, q, d):
+    """Shared body: ascent direction of -mu' at xs (d, M), scaled coords.
+
+    ws (d, Np), wt (Wr, Np), beta (q, M), z (q, M); ``us_read(j, dd)``
+    returns the scaled union coordinate (traced scalar).
+    """
+    s = None
+    for dd in range(d):
+        diff = ws[dd][:, None] - xs[dd][None, :]     # (Np, M)
+        s = diff * diff if s is None else s + diff * diff
+    if kernel_name == "square_exponential":
+        phi = jnp.exp(-0.5 * s)
+    else:                                            # matern 2.5
+        r = jnp.sqrt(s)
+        phi = (1.0 + _SQRT5 * r) * jnp.exp(-_SQRT5 * r)
+
+    a = jax.lax.dot_general(
+        wt, phi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Wr, M)
+
+    s0 = a[0:1]
+    for j in range(q):
+        s0 = s0 - a[1 + j:2 + j] * z[j:j + 1]
+    rows = []
+    for dd in range(d):
+        sx = a[1 + q + dd:2 + q + dd]
+        for j in range(q):
+            ro = 1 + q + (j + 1) * d + dd
+            sx = sx - a[ro:ro + 1] * z[j:j + 1]
+        rows.append(xs[dd:dd + 1] * s0 - sx)
+
+    for j in range(q):
+        su = None
+        for dd in range(d):
+            du = xs[dd:dd + 1] - us_read(j, dd)
+            su = du * du if su is None else su + du * du
+        if kernel_name == "square_exponential":
+            phi_u = jnp.exp(-0.5 * su)
+        else:
+            ru = jnp.sqrt(su)
+            phi_u = (1.0 + _SQRT5 * ru) * jnp.exp(-_SQRT5 * ru)
+        pb = phi_u * beta[j:j + 1]
+        for dd in range(d):
+            rows[dd] = rows[dd] + pb * (xs[dd:dd + 1] - us_read(j, dd))
+    return jnp.concatenate(rows, axis=0)             # (d, M)
+
+
+def _descent_run_kernel(xs0_ref, ws_ref, wt_ref, beta_ref, z_ref, us_ref,
+                        geom_ref, out_ref, *, kernel_name, q, d, b,
+                        steps, restarts, avg_n, gamma, pre_mult, mrc):
+    """Full inner descent for one ensemble member: B unions x M draws.
+
+    Replicates optimizers.gradient_ascent_batch over the analytic descent
+    direction: ``restarts`` rounds of ``steps`` GD steps with the decaying
+    step size, TensorProductDomain.LimitUpdate step clamping
+    (gpp_domain.cpp:64-110 semantics) and Polyak averaging of the last
+    ``avg_n`` steps — everything in VMEM, one kernel per outer GD step.
+
+    geom rows: 0 = lower/l, 1 = upper/l, 2 = 1/l^2 (scaled-coordinate
+    update: dx_scaled = alpha * g_scaled / l^2).
+    """
+    ws = ws_ref[0]                                   # (d, Np)
+    z = z_ref[:]                                     # (q, M)
+
+    def one_union(bi, _):
+        xs = xs0_ref[bi]                             # (d, M)
+        wt = wt_ref[bi]                              # (Wr, Np)
+        beta = beta_ref[bi]                          # (q, M)
+
+        def us_read(j, dd):
+            return us_ref[0, bi, j, dd]
+
+        for _rnd in range(restarts):
+            traj = []
+            for i in range(steps):
+                g = _field_grad(xs, ws, wt, beta, z, us_read,
+                                kernel_name=kernel_name, q=q, d=d)
+                alpha = float(pre_mult) * (i + 1.0) ** (-float(gamma))
+                rows = []
+                for dd in range(d):
+                    lo = geom_ref[0, 0, dd]
+                    hi = geom_ref[0, 1, dd]
+                    il2 = geom_ref[0, 2, dd]
+                    x_r = xs[dd:dd + 1]
+                    dx = alpha * g[dd:dd + 1] * il2
+                    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+                    dist = jnp.minimum(x_r - lo, hi - x_r)
+                    cap = mrc * dist
+                    step = jnp.where(jnp.abs(dx) > cap,
+                                     jnp.sign(dx) * cap, dx)
+                    nxt = x_r + step
+                    half = step * 0.5
+                    fix_lo = jnp.where((x_r + half) < lo,
+                                       (lo - x_r) * 0.5, half)
+                    fix_hi = jnp.where((x_r + half) > hi,
+                                       (hi - x_r) * 0.5, half)
+                    step = jnp.where(nxt < lo, fix_lo,
+                                     jnp.where(nxt > hi, fix_hi, step))
+                    rows.append(x_r + step)
+                xs = jnp.concatenate(rows, axis=0)
+                if avg_n:
+                    traj.append(xs)
+                    traj = traj[-avg_n:]
+            if avg_n and traj:
+                acc = traj[0]
+                for t in traj[1:]:
+                    acc = acc + t
+                xs = acc / float(len(traj))
+                rows = []
+                for dd in range(d):
+                    lo = geom_ref[0, 0, dd]
+                    hi = geom_ref[0, 1, dd]
+                    rows.append(jnp.clip(xs[dd:dd + 1], lo, hi))
+                xs = jnp.concatenate(rows, axis=0)
+        out_ref[bi] = xs
+        return 0
+
+    jax.lax.fori_loop(0, b, one_union, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kernel_name", "steps", "restarts", "avg_n", "gamma", "pre_mult",
+    "mrc", "interpret"))
+def pallas_descent_run(xs0: jax.Array, ws: jax.Array, wt: jax.Array,
+                       beta_t: jax.Array, z_t: jax.Array, us: jax.Array,
+                       geom: jax.Array, kernel_name: str, steps: int,
+                       restarts: int, avg_n: int, gamma: float,
+                       pre_mult: float, mrc: float,
+                       interpret: bool = False) -> jax.Array:
+    """Run the whole inner descent in one kernel; returns final scaled xs.
+
+    xs0: (B, d, M); ws: (d, Np); wt: (B, Wr, Np); beta_t: (B, q, M);
+    z_t: (q, M); us: (B, q, d); geom: (3, d) [lower/l, upper/l, 1/l^2].
+    """
+    b, d, m = xs0.shape
+    q = z_t.shape[0]
+    np_ = ws.shape[1]
+    wr = wt.shape[1]
+    kern = functools.partial(
+        _descent_run_kernel, kernel_name=kernel_name, q=q, d=d, b=b,
+        steps=steps, restarts=restarts, avg_n=avg_n, gamma=gamma,
+        pre_mult=pre_mult, mrc=mrc)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, d, m), jnp.float32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, d, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, np_), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, wr, np_), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, q, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, q, d), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((b, d, m), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xs0, ws[None], wt, beta_t, z_t, us[None], geom[None])
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "interpret"))
+def pallas_descent_grad(xs: jax.Array, ws: jax.Array, wt: jax.Array,
+                        beta_t: jax.Array, z_t: jax.Array, us: jax.Array,
+                        kernel_name: str = "matern_2.5",
+                        interpret: bool = False) -> jax.Array:
+    """Fused inner-descent ascent direction (scaled coordinates).
+
+    xs: (B, d, M) scaled descent points (M padded to 128 multiple by the
+    caller); ws: (d, Np); wt: (B, Wr, Np); beta_t: (B, q, M);
+    z_t: (q, M); us: (B, q, d).  Returns (B, d, M) float32.
+    """
+    b, d, m = xs.shape
+    q = z_t.shape[0]
+    np_ = ws.shape[1]
+    wr = wt.shape[1]
+    kern = functools.partial(_descent_grad_kernel, kernel_name=kernel_name,
+                             q=q, d=d)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, d, m), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, d, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wr, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xs, ws, wt, beta_t, z_t, us)
