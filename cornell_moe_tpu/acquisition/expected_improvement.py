@@ -287,18 +287,47 @@ def heuristic_expected_improvement_optimization(
     if estimation_policy is None:
         estimation_policy = partial(kriging_believer_estimate)
 
+    # Shape-stable fantasy slots: pad the training set ONCE with
+    # num_to_sample huge-noise dummy points, then fill one slot per round.
+    # Every per-round program (refit, multistart EI) therefore compiles
+    # once and is reused for all q rounds — the previous implementation
+    # grew the arrays each round, recompiling everything q times (30-300 s
+    # per shape on the TPU tunnel).
+    from cornell_moe_tpu.models.mcmc import PAD_NOISE
+
+    n0 = state.num_sampled
+    q = num_to_sample
+    dtype = state.points_sampled.dtype
+    c = 1 + state.num_derivatives
+    center = jnp.mean(jnp.asarray(domain.bounds, dtype), axis=1)
+    x_pad = jnp.concatenate(
+        [state.points_sampled, jnp.tile(center[None], (q, 1))], axis=0)
+    y_pad = jnp.concatenate(
+        [state.points_sampled_value, jnp.zeros((q, c), dtype)], axis=0)
+    pn = jnp.zeros((n0 + q, c), dtype).at[n0:].set(PAD_NOISE)
+    cov, noise, derivs, mean = (state.covariance, state.noise_variance,
+                                state.derivatives, state.mean)
+
+    @jax.jit
+    def refit(x, y, point_noise):
+        # fixed prior mean, matching add_sampled_points(update_mean=False)
+        return gp.fit_gp(cov, noise, x, y, derivs, mean=mean,
+                         point_noise=point_noise)
+
+    cur = refit(x_pad, y_pad, pn)
     chosen = []
-    for i in range(num_to_sample):
+    for i in range(q):
         key, sub = jax.random.split(key)
         pt = multistart_expected_improvement_optimization(
-            sub, state, domain, 1, params, best_so_far=best_so_far,
+            sub, cur, domain, 1, params, best_so_far=best_so_far,
             num_mc_iterations=num_mc_iterations)
-        value, _noise = estimation_policy(state, pt)
+        value, fantasy_noise = estimation_policy(cur, pt)
         full_value = jnp.concatenate(
-            [jnp.reshape(value, (1,)),
-             jnp.zeros((state.num_derivatives,),
-                       state.points_sampled_value.dtype)])
-        state = gp.add_sampled_points(state, pt, full_value[None, :],
-                                     update_mean=False)
+            [jnp.reshape(jnp.asarray(value, dtype), (1,)),
+             jnp.zeros((state.num_derivatives,), dtype)])
+        x_pad = x_pad.at[n0 + i].set(pt.reshape(-1))
+        y_pad = y_pad.at[n0 + i].set(full_value)
+        pn = pn.at[n0 + i].set(jnp.asarray(fantasy_noise, dtype))
+        cur = refit(x_pad, y_pad, pn)
         chosen.append(pt.reshape(1, -1))
     return jnp.concatenate(chosen, axis=0)

@@ -156,3 +156,32 @@ def multistart_expected_improvement_optimization(
     if status is not None:
         status["gradient_descent_found_update"] = True
     return np.asarray(best)
+
+
+def heuristic_expected_improvement_optimization(
+        ei_optimizer, num_to_sample: int, estimation_policy=None,
+        randomness=None, max_num_threads=None, status=None,
+        rng_key=None):
+    """Sequential heuristic q-point selection (constant-liar / kriging).
+
+    Counterpart of the ``heuristic_expected_improvement_optimization``
+    GPP binding (gpp_python_expected_improvement.cpp; its C++ consumer is
+    compiled out of the reference build but the surface is part of the
+    SURVEY.md section 2.9 contract).  ``estimation_policy`` is one of the
+    compat estimation-policy objects (ConstantLiarEstimationPolicy /
+    KrigingBelieverEstimationPolicy) or a callable
+    ``(state, point) -> (value, noise)``.
+    """
+    del randomness, max_num_threads
+    obj = ei_optimizer.objective_function
+    params = ei_optimizer.optimizer_parameters
+    domain = getattr(ei_optimizer.domain, "core", ei_optimizer.domain)
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(2)
+    # the compat estimation-policy classes are callable on core states
+    best = ei_core.heuristic_expected_improvement_optimization(
+        key, obj._gaussian_process.state, domain, num_to_sample, params,
+        estimation_policy=estimation_policy, best_so_far=obj._best_so_far,
+        num_mc_iterations=obj._num_mc_iterations)
+    if status is not None:
+        status["heuristic_ei_found_update"] = True
+    return np.asarray(best)

@@ -87,6 +87,18 @@ class ExpectedImprovementMCMC(OptimizableInterface):
     def value_and_grad_jax(self, pts):
         return jax.value_and_grad(self._objective_jax)(pts)
 
+    def evaluate_at_point_list(self, points_to_evaluate):
+        """Ensemble-averaged EI at each candidate block.
+
+        Counterpart of ``evaluate_EI_mcmc_at_point_list``
+        (gpp_python_expected_improvement_mcmc.cpp).  Accepts (n, dim) for
+        single-point candidates or (n, q, dim) blocks; returns (n,).
+        """
+        pts = jnp.asarray(points_to_evaluate, dtype=float)
+        if pts.ndim == 2:
+            pts = pts[:, None, :]
+        return np.asarray(jax.lax.map(self._objective_jax, pts))
+
 
 def multistart_expected_improvement_mcmc_optimization(
         ei_optimizer, num_multistarts=None, num_to_sample=None,

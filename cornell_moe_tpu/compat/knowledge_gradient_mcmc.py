@@ -236,6 +236,19 @@ class KnowledgeGradientMCMC(OptimizableInterface):
     def value_and_grad_jax(self, pts):
         return jax.value_and_grad(self._objective_jax)(pts)
 
+    def evaluate_at_point_list(self, points_to_evaluate):
+        """Ensemble-averaged KG at each candidate block.
+
+        Counterpart of ``evaluate_KG_mcmc_at_point_list``
+        (gpp_python_knowledge_gradient_mcmc.cpp:627 area).  Accepts
+        (n, dim) single-point candidates or (n, q, dim) blocks; returns
+        (n,).
+        """
+        pts = jnp.asarray(points_to_evaluate, dtype=float)
+        if pts.ndim == 2:
+            pts = pts[:, None, :]
+        return np.asarray(jax.lax.map(self._objective_jax, pts))
+
 
 def multistart_knowledge_gradient_mcmc_optimization(
         kg_optimizer, inner_optimizer=None, num_multistarts=None,

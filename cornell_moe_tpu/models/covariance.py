@@ -273,13 +273,18 @@ def build_covariance_matrix_with_noise(
         from cornell_moe_tpu.ops import pallas_kernels as pk
         if use_pallas == "always" or pk.pallas_available_for(
                 jnp.asarray(points), derivatives):
+            noise = jnp.asarray(noise_variance, jnp.float32)
+            noise_vec = noise.reshape(-1) if noise.ndim == 2 else \
+                jnp.full((n,), noise[0], jnp.float32)
+            if n <= 768:
+                # fused build + diagonal add, one program per matrix
+                return pk.pallas_covariance_with_noise_full(
+                    jnp.asarray(points), cov.hyperparameters, noise_vec,
+                    kernel_name)
             k = pk.pallas_covariance_matrix(
                 jnp.asarray(points), jnp.asarray(points),
                 cov.hyperparameters, kernel_name)
-            noise = jnp.asarray(noise_variance, k.dtype)
-            if noise.ndim == 2:   # per-point (n, 1+m): bucket-pad noise
-                return k + jnp.diag(noise.reshape(-1))
-            return k + noise[0] * jnp.eye(n, dtype=k.dtype)
+            return k + jnp.diag(noise_vec)
     k = build_covariance_matrix(cov, points, derivatives)
     noise = jnp.asarray(noise_variance, k.dtype)
     if noise.ndim == 2:          # per-point per-channel (n, 1+m)

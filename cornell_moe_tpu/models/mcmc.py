@@ -240,8 +240,15 @@ class GaussianProcessLogLikelihoodMCMC:
                 jnp.asarray(point_noise)
         return jnp.asarray(x), jnp.asarray(y), None
 
-    def _make_log_posterior(self):
-        x, y, point_noise = self._padded_data()
+    def _log_posterior_with_data(self):
+        """vmapped log-posterior taking the (padded) data as arguments.
+
+        Keeping the data out of the closure means retrains re-dispatch one
+        cached compiled program with fresh arrays instead of re-tracing a
+        chain whose constants embed the whole training set (host-side
+        retrace + giant-constant dispatch dominated the per-iteration
+        retrain before this).
+        """
         derivs = self._derivatives
         dim = self.dim
         num_noise = 1 + len(derivs)
@@ -249,7 +256,7 @@ class GaussianProcessLogLikelihoodMCMC:
         prior = self.prior
         kernel = cov_mod.COVARIANCE_TYPES[self.kernel_name]
 
-        def log_posterior_single(theta):
+        def log_posterior_single(theta, x, y, point_noise):
             in_bounds = jnp.all(jnp.abs(theta) <= LOG_BOUND)
             lp = prior.lnprob(theta)
             hyps = jnp.exp(theta)
@@ -264,7 +271,32 @@ class GaussianProcessLogLikelihoodMCMC:
             val = lp + lml
             return jnp.where(in_bounds & jnp.isfinite(val), val, -jnp.inf)
 
-        return jax.vmap(log_posterior_single)
+        return jax.vmap(log_posterior_single, in_axes=(0, None, None,
+                                                       None))
+
+    def _make_log_posterior(self):
+        x, y, point_noise = self._padded_data()
+        f = self._log_posterior_with_data()
+        return lambda thetas: f(thetas, x, y, point_noise)
+
+    def _chain_fn(self):
+        """Cached jitted chain runner: (key, p0, x, y, pnoise) -> walkers.
+
+        One compile per (num_steps, data-shape) pair; shape bucketing keeps
+        the data shape stable across iterations, so per-iteration retrains
+        are a single device dispatch.
+        """
+        if getattr(self, "_chain_fn_cache", None) is None:
+            log_post = self._log_posterior_with_data()
+
+            def chain(key, p0, x, y, point_noise, num_steps):
+                return run_ensemble_mcmc(
+                    key, lambda t: log_post(t, x, y, point_noise), p0,
+                    num_steps)
+
+            self._chain_fn_cache = jax.jit(
+                chain, static_argnames=("num_steps",))
+        return self._chain_fn_cache
 
     def compute_log_likelihood(self, theta) -> jax.Array:
         """Log posterior at one log-hyperparameter vector (API parity)."""
@@ -274,18 +306,19 @@ class GaussianProcessLogLikelihoodMCMC:
     # -- training ---------------------------------------------------------
     def train(self, do_optimize: bool = True) -> None:
         if do_optimize:
-            log_post = jax.jit(self._make_log_posterior())
+            chain = self._chain_fn()
+            x, y, point_noise = self._padded_data()
             self._key, k_init, k_burn, k_chain, k_pick = \
                 jax.random.split(self._key, 5)
             if not self.burned:
                 p0 = self.prior.sample_from_prior(k_init, self.n_hypers)
                 p0 = jnp.clip(p0, -LOG_BOUND + 1e-3, LOG_BOUND - 1e-3)
-                p0, _ = run_ensemble_mcmc(k_burn, log_post, p0,
-                                          self.burnin_steps)
+                p0, _ = chain(k_burn, p0, x, y, point_noise,
+                              num_steps=self.burnin_steps)
                 self.p0 = p0
                 self.burned = True
-            pos, _ = run_ensemble_mcmc(k_chain, log_post, self.p0,
-                                       self.chain_length)
+            pos, _ = chain(k_chain, self.p0, x, y, point_noise,
+                           num_steps=self.chain_length)
             self.p0 = pos
             pick = jax.random.randint(k_pick, (self.n_hypers,), 0,
                                       self.n_hypers)

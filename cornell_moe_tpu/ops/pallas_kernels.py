@@ -103,6 +103,72 @@ def pallas_covariance_matrix(x1: jax.Array, x2: jax.Array,
     return out[:n1, :n2]
 
 
+def _cov_full_kernel(us_ref, alpha_ref, noise_ref, out_ref, *,
+                     kernel_name):
+    """Whole K + diag(noise) in one program (one walker / ensemble member).
+
+    XLA's pipeline and the tiled kernel above pay per-program overhead on
+    ~(500, 500) fit matrices (the MCMC hot loop builds 16 of them per
+    stretch-move step); at n <= ~768 the full matrix fits VMEM, so one
+    program per member does the fields and the diagonal add in one pass.
+    """
+    us = us_ref[:]                                   # (d, Np)
+    d = us.shape[0]
+    s = None
+    for dd in range(d):
+        diff = us[dd][:, None] - us[dd][None, :]
+        s = diff * diff if s is None else s + diff * diff
+    alpha = alpha_ref[0, 0]
+    if kernel_name == "square_exponential":
+        k = alpha * jnp.exp(-0.5 * s)
+    else:
+        r = jnp.sqrt(s)
+        k = alpha * (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
+            jnp.exp(-_SQRT5 * r)
+    n = k.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    out_ref[:] = k + jnp.where(ii == jj, noise_ref[0][:, None], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "interpret"))
+def pallas_covariance_with_noise_full(points: jax.Array,
+                                      hyperparameters: jax.Array,
+                                      noise_vec: jax.Array,
+                                      kernel_name: str = "matern_2.5",
+                                      interpret: bool = False) -> jax.Array:
+    """K(x, x) + diag(noise_vec) via the single-program fused kernel.
+
+    points: (n, d); noise_vec: (n,) total per-point diagonal noise.
+    Returns (n, n) float32.  Use for n <= ~768 (whole matrix in VMEM).
+    """
+    alpha = hyperparameters[0].reshape(1, 1).astype(jnp.float32)
+    lengths = hyperparameters[1:]
+    us = (points / lengths).T.astype(jnp.float32)    # (d, n)
+    d, n = us.shape
+    np_ = _cdiv(n, _TILE) * _TILE
+    us = jnp.pad(us, ((0, 0), (0, np_ - n)), constant_values=1e6)
+    noise = jnp.pad(noise_vec.astype(jnp.float32), (0, np_ - n))[None]
+
+    out = pl.pallas_call(
+        functools.partial(_cov_full_kernel, kernel_name=kernel_name),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), jnp.float32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((d, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_, np_), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(us, alpha, noise)
+    return out[:n, :n]
+
+
 def pallas_available_for(x: jax.Array, derivatives) -> bool:
     """Gate: TPU backend, float32, value-only channels, worthwhile size."""
     try:

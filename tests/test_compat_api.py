@@ -324,3 +324,61 @@ def test_estimation_policy_classes(rng):
     mu = gp.compute_mean_of_points(np.array([[0.1]]))[0]
     assert float(val) > mu          # mean + 1 sigma
     assert noise == const.DEFAULT_KRIGING_NOISE_VARIANCE
+
+
+def test_mcmc_point_list_evaluators(rng):
+    """evaluate_at_point_list on the MCMC classes
+    (evaluate_EI_mcmc_at_point_list / evaluate_KG_mcmc_at_point_list
+    counterparts)."""
+    data = HistoricalData(dim=1)
+    x = np.sort(rng.random(8) * 4 - 2)[:, None]
+    y = np.sin(2 * x[:, 0])
+    data.append_historical_data(x, y)
+    hypers = np.abs(rng.standard_normal((3, 2))) + 0.6
+    noises = np.full((3, 1), 1e-3)
+    gp_mcmc = kgm_c.GaussianProcessMCMC(hypers, noises, data)
+
+    ei = eim_c.ExpectedImprovementMCMC(gp_mcmc, num_to_sample=1,
+                                       num_mc_iterations=64)
+    cand = np.linspace(-2, 2, 5)[:, None]
+    vals = ei.evaluate_at_point_list(cand)
+    assert vals.shape == (5,)
+    # matches point-by-point objective evaluation
+    for i, p in enumerate(cand):
+        ei.set_current_point(p[None])
+        np.testing.assert_allclose(
+            vals[i], ei.compute_expected_improvement_mcmc(), rtol=1e-10)
+
+    inner_params = opt_c.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=4, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.3)
+    discrete_list = [np.linspace(-2, 2, 5)[:, None]] * 3
+    kg = kgm_c.KnowledgeGradientMCMC(
+        gp_mcmc, num_fidelity=0, inner_optimizer=inner_params,
+        discrete_pts_list=discrete_list, num_to_sample=1,
+        num_mc_iterations=8)
+    kvals = kg.evaluate_at_point_list(cand[:3])
+    assert kvals.shape == (3,)
+    kg.set_current_point(cand[1][None])
+    np.testing.assert_allclose(
+        kvals[1], kg.compute_knowledge_gradient_mcmc(), rtol=1e-10)
+
+
+def test_compat_heuristic_ei_export(rng):
+    from cornell_moe_tpu.compat.estimation_policies import (
+        ConstantLiarEstimationPolicy)
+
+    gp, x, y = _make_gp(rng)
+    ei = ei_c.ExpectedImprovement(gp, num_mc_iterations=64)
+    dom = dom_c.TensorProductDomain([ClosedInterval(-2.0, 2.0)])
+    params = opt_c.GradientDescentParameters(
+        num_multistarts=2, max_num_steps=4, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.3)
+    opt = opt_c.GradientDescentOptimizer(dom, ei, params)
+    status = {}
+    pts = ei_c.heuristic_expected_improvement_optimization(
+        opt, 3, estimation_policy=ConstantLiarEstimationPolicy(
+            lie_value=float(y.min())), status=status)
+    assert pts.shape == (3, 1)
+    assert np.all(pts >= -2.0) and np.all(pts <= 2.0)
+    assert status["heuristic_ei_found_update"]

@@ -165,3 +165,37 @@ def test_heuristic_ei_returns_q_distinct_points(rng):
         jax.random.PRNGKey(6), state, dom, 2, params)
     assert pts.shape == (2, 1)
     assert abs(float(pts[0, 0] - pts[1, 0])) > 1e-3
+
+
+def test_heuristic_ei_shape_stable_no_recompiles(rng, monkeypatch):
+    """The heuristic q loop must reuse one program set across rounds.
+
+    Regression test for the shape-growth recompile bug: every fantasy
+    point used to grow the GP arrays, forcing fresh compiles of every
+    downstream program per round (30-300 s per shape on the TPU tunnel).
+    Now fantasy points fill pre-padded huge-noise slots, so the per-round
+    state shapes are identical — asserted by recording the shapes the EI
+    multistart actually sees.
+    """
+    state, x, y = _gp_1d(rng)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=2, max_num_steps=4, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.4)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+
+    seen_shapes = []
+    orig = ei.multistart_expected_improvement_optimization
+
+    def spy(key, st, *args, **kwargs):
+        seen_shapes.append((st.points_sampled.shape, st.chol_K.shape))
+        return orig(key, st, *args, **kwargs)
+
+    monkeypatch.setattr(
+        ei, "multistart_expected_improvement_optimization", spy)
+    pts = ei.heuristic_expected_improvement_optimization(
+        jax.random.PRNGKey(6), state, dom, 3, params,
+        num_mc_iterations=32)
+    assert pts.shape == (3, 1)
+    assert len(seen_shapes) == 3
+    assert len(set(seen_shapes)) == 1, \
+        f"per-round shapes changed: {seen_shapes}"

@@ -28,6 +28,24 @@ def test_pallas_covariance_matches_builder(kernel, shape, rng):
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("kernel", ["square_exponential", "matern_2.5"])
+def test_pallas_covariance_full_matches_builder(kernel, rng):
+    n, d = 200, 3
+    hypers = np.concatenate([[1.2], 0.5 + rng.random(d)]).astype(
+        np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    noise = (1e-3 + rng.random(n)).astype(np.float32)
+
+    got = np.asarray(pk.pallas_covariance_with_noise_full(
+        jnp.asarray(x), jnp.asarray(hypers), jnp.asarray(noise), kernel,
+        interpret=True))
+    cov = cov_mod.make_covariance(kernel, hypers.astype(np.float64))
+    expected = np.asarray(cov_mod.build_block_covariance(
+        cov, jnp.asarray(x, jnp.float64), (), jnp.asarray(x, jnp.float64),
+        ())) + np.diag(noise)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_gate_logic(rng):
     x64 = jnp.asarray(rng.standard_normal((300, 2)))
     # CPU backend in the test suite -> gated off
@@ -57,6 +75,10 @@ def test_builder_with_noise_pallas_per_point_noise(rng, monkeypatch):
     monkeypatch.setattr(
         pk, "pallas_covariance_matrix",
         functools.partial(pk.pallas_covariance_matrix, interpret=True))
+    monkeypatch.setattr(
+        pk, "pallas_covariance_with_noise_full",
+        functools.partial(pk.pallas_covariance_with_noise_full,
+                          interpret=True))
     hypers = np.array([1.0, 0.8, 1.2], dtype=np.float32)
     cov = cov_mod.make_covariance("matern_2.5", hypers)
     pts = jnp.asarray(rng.standard_normal((48, 2)), jnp.float32)
