@@ -202,6 +202,59 @@ def main(small: bool = False):
     _report("cf-KG value+grad (1 fidelity dim, q=2, 128 MC)", secs,
             {"hesbo_embedding_dim": proj._dim})
 
+    # ---- config 6: PES at the reference scale --------------------------
+    # Reference: Hartmann6, M=100 hyper sets, 1000 random features,
+    # 113.08 s per suggest (pes/README.md:46).  Suggest = per-hyper-set
+    # (x* draw + EP conditioning) + marginalized-acquisition grid + SGA
+    # polish, given sampled hyperparameters (their sampling is the
+    # reference's separate 73.92 s "retrain" phase).
+    from cornell_moe_tpu.acquisition import pes as pes_mod
+    from cornell_moe_tpu.acquisition import pes_driver
+
+    h6 = sf.Hartmann6()
+    n_pes = 60
+    m_sets = 100 // (scale if small else 1)
+    xp = rng.random((n_pes, 6))
+    yp = np.array([h6.evaluate_true(p)[0] for p in xp])
+    xpj = jnp.asarray(xp, jnp.float64 if jax.config.jax_enable_x64
+                      else dtype)
+    ypj = jnp.asarray(yp, xpj.dtype)
+    dom6 = TensorProductDomain.from_bounds(
+        np.array([[0.0, 1.0]] * 6, dtype=np.float32))
+    sig_s = jnp.asarray(np.abs(rng.standard_normal(m_sets)) + 1.0,
+                        xpj.dtype)
+    len_s = jnp.asarray(0.3 + 0.4 * rng.random((m_sets, 6)), xpj.dtype)
+    noise_s = jnp.full((m_sets,), 1e-3, xpj.dtype)
+    grid6 = dom6.generate_latin_hypercube_points(
+        jax.random.PRNGKey(11), 500).astype(xpj.dtype)
+    pes_params = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=60, max_num_restarts=2,
+        gamma=0.7, pre_mult=0.1, max_relative_change=0.5)
+
+    def pes_suggest(key):
+        def per_set(k, nz, ls, sg):
+            x_min, hess = pes_driver.sample_minimum_with_hessian(
+                k, xpj, ypj, sg, ls, nz, dom6, grid6)
+            return pes_mod.make_pes_state(xpj, ypj, x_min, hess, sg, ls,
+                                          nz)
+
+        keys = jax.random.split(key, m_sets)
+        states = jax.vmap(per_set)(keys, noise_s, len_s, sig_s)
+
+        def acq(p):
+            return pes_mod.pes_acquisition_multi(p, states, xpj)
+
+        grid_vals = jax.vmap(acq)(grid6)
+        x0 = grid6[jnp.argmax(grid_vals)]
+        x_opt = optimizers.gradient_ascent(
+            jax.value_and_grad(acq), dom6, x0, pes_params)
+        return jnp.where(acq(x_opt) > grid_vals.max(), x_opt, x0)
+
+    secs, _ = _timeit(jax.jit(pes_suggest), jax.random.PRNGKey(12))
+    _report(f"PES suggest (Hartmann6, 60 obs, M={m_sets} hyper sets, "
+            "1000 features, grid 500 + SGA)", secs,
+            {"vs_reference_113.08s": round(113.08 / secs, 2)})
+
     print(f"# device: {jax.devices()[0].platform}", file=sys.stderr)
 
 

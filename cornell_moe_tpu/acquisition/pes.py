@@ -81,20 +81,18 @@ class PESChannels(NamedTuple):
     n_off: int            # d(d-1)/2
 
 
-def build_pes_covariance(x_samples: jax.Array, x_min: jax.Array, sigma,
-                         lengths, noise) -> PESChannels:
-    """Joint prior covariance over the PES conditioning channels.
+def _build_pes_covariance_autodiff(x_samples: jax.Array, x_min: jax.Array,
+                                   sigma, lengths, noise) -> PESChannels:
+    """Autodiff oracle for :func:`build_pes_covariance` (test use only).
 
-    Channel order follows the reference (compute_K / compute_cov_xPrime_cz,
-    compute_covariance.py:626-726): [values at X_n (+noise diag),
-    grad(x*) (d), offdiag Hess(x*) (d(d-1)/2), diag Hess(x*) (d),
-    f(x*) (+noise)], with sigma*1e-10 diagonal jitter.
+    Traces O(n_ch^2) nested-jacfwd scalar kernels — exact but
+    trace-explosive at reference scale; kept as the independent check for
+    the closed-form block builder below.
     """
     n, d = x_samples.shape
     off = _offdiag_indices(d)
     k = _se_kernel(sigma, lengths)
 
-    # operator list: (point, deriv tuple)
     points = [x_samples[i] for i in range(n)]
     ops = [((), p) for p in points]
     ops += [((i,), x_min) for i in range(d)]
@@ -111,7 +109,6 @@ def build_pes_covariance(x_samples: jax.Array, x_min: jax.Array, sigma,
         rows.append(jnp.stack(row))
     big_k = jnp.stack(rows)
 
-    # observation noise on the n value channels and on f(x*)
     noise_diag = jnp.concatenate([
         jnp.full((n,), noise), jnp.zeros((n_ch - n - 1,)),
         jnp.full((1,), noise)]).astype(big_k.dtype)
@@ -120,21 +117,108 @@ def build_pes_covariance(x_samples: jax.Array, x_min: jax.Array, sigma,
     return PESChannels(K=big_k, n=n, d=d, n_off=len(off))
 
 
+def build_pes_covariance(x_samples: jax.Array, x_min: jax.Array, sigma,
+                         lengths, noise) -> PESChannels:
+    """Joint prior covariance over the PES conditioning channels.
+
+    Channel order follows the reference (compute_K / compute_cov_xPrime_cz,
+    compute_covariance.py:626-726): [values at X_n (+noise diag),
+    grad(x*) (d), offdiag Hess(x*) (d(d-1)/2), diag Hess(x*) (d),
+    f(x*) (+noise)], with sigma*1e-10 diagonal jitter.
+
+    All SE derivative blocks are closed forms in the scaled differences
+    w = (X - x*)/l (the reference's 738-line table and the autodiff oracle
+    above compute the same polynomials-times-Gaussian entries): trace size
+    is O(1) in n, and the whole build is a handful of broadcasted ops.
+    """
+    n, d = x_samples.shape
+    off = _offdiag_indices(d)
+    dtype = x_samples.dtype
+    inv_l = 1.0 / lengths
+    inv_l2 = inv_l * inv_l
+
+    w = (x_samples - x_min) * inv_l                       # (n, d)
+    gk = sigma * jnp.exp(-0.5 * jnp.sum(w * w, axis=-1))  # (n,) sigma*g
+
+    # AA: plain SE among observations
+    dw = (x_samples[:, None, :] - x_samples[None, :, :]) * inv_l
+    aa = sigma * jnp.exp(-0.5 * jnp.sum(dw * dw, axis=-1))
+
+    # cross blocks obs x (grad*, offdiagH*, diagH*, f*)
+    ab = gk[:, None] * w * inv_l[None, :]                 # (n, d)
+    if off:
+        oi = jnp.asarray([i for (i, j) in off])
+        oj = jnp.asarray([j for (i, j) in off])
+        ac = gk[:, None] * w[:, oi] * w[:, oj] * \
+            (inv_l[oi] * inv_l[oj])[None, :]              # (n, n_off)
+    else:
+        ac = jnp.zeros((n, 0), dtype)
+    ad = gk[:, None] * (w * w - 1.0) * inv_l2[None, :]    # (n, d)
+    ae = gk[:, None]                                      # (n, 1)
+
+    # x*-side blocks (all at w = 0)
+    bb = sigma * jnp.diag(inv_l2)                         # (d, d)
+    if off:
+        cc = sigma * jnp.diag(inv_l2[oi] * inv_l2[oj])    # (n_off, n_off)
+    else:
+        cc = jnp.zeros((0, 0), dtype)
+    dd = sigma * jnp.outer(inv_l2, inv_l2) * \
+        (1.0 + 2.0 * jnp.eye(d, dtype=dtype))             # (d, d)
+    de = (-sigma * inv_l2)[:, None]                       # (d, 1)
+    ee = jnp.asarray(sigma, dtype).reshape(1, 1)
+
+    n_off = len(off)
+    z = lambda r, c: jnp.zeros((r, c), dtype)             # noqa: E731
+    big_k = jnp.block([
+        [aa,     ab,           ac,             ad,     ae],
+        [ab.T,   bb,           z(d, n_off),    z(d, d), z(d, 1)],
+        [ac.T,   z(n_off, d),  cc,             z(n_off, d), z(n_off, 1)],
+        [ad.T,   z(d, d),      z(d, n_off),    dd,     de],
+        [ae.T,   z(1, d),      z(1, n_off),    de.T,   ee],
+    ])
+
+    n_ch = big_k.shape[0]
+    noise_diag = jnp.concatenate([
+        jnp.full((n,), noise), jnp.zeros((n_ch - n - 1,)),
+        jnp.full((1,), noise)]).astype(big_k.dtype)
+    big_k = big_k + jnp.diag(noise_diag) + \
+        sigma * 1e-10 * jnp.eye(n_ch, dtype=big_k.dtype)
+    return PESChannels(K=big_k, n=n, d=d, n_off=n_off)
+
+
+def pes_cross_matrix(xs: jax.Array, x_samples: jax.Array,
+                     x_min: jax.Array, sigma, lengths) -> jax.Array:
+    """Cross-covariances of f(xs) with the conditioning channels, batched.
+
+    xs: (m, d) -> (m, n + d + n_off + d + 1).  Closed-form counterpart of
+    compute_cov_xPrime_cz (compute_covariance.py), vectorized over xs.
+    """
+    n, d = x_samples.shape
+    off = _offdiag_indices(d)
+    inv_l = 1.0 / lengths
+    inv_l2 = inv_l * inv_l
+
+    dw = (xs[:, None, :] - x_samples[None, :, :]) * inv_l
+    vals = sigma * jnp.exp(-0.5 * jnp.sum(dw * dw, axis=-1))  # (m, n)
+
+    w = (xs - x_min) * inv_l                                  # (m, d)
+    gk = sigma * jnp.exp(-0.5 * jnp.sum(w * w, axis=-1))      # (m,)
+    grad = gk[:, None] * w * inv_l[None, :]
+    if off:
+        oi = jnp.asarray([i for (i, j) in off])
+        oj = jnp.asarray([j for (i, j) in off])
+        offd = gk[:, None] * w[:, oi] * w[:, oj] * \
+            (inv_l[oi] * inv_l[oj])[None, :]
+    else:
+        offd = jnp.zeros((xs.shape[0], 0), xs.dtype)
+    diag = gk[:, None] * (w * w - 1.0) * inv_l2[None, :]
+    return jnp.concatenate([vals, grad, offd, diag, gk[:, None]], axis=-1)
+
+
 def pes_cross_vector(x: jax.Array, x_samples: jax.Array, x_min: jax.Array,
                      sigma, lengths) -> jax.Array:
     """k(f(x), [y_n, grad*, offdiagH*, diagH*, f*]) — compute_cov_xPrime_cz."""
-    d = x_samples.shape[1]
-    k = _se_kernel(sigma, lengths)
-    parts = [jax.vmap(lambda xi: k(x, xi))(x_samples)]
-    parts.append(jnp.stack([cov_deriv(k, (), (i,))(x, x_min)
-                            for i in range(d)]))
-    parts.append(jnp.stack([cov_deriv(k, (), (i, j))(x, x_min)
-                            for (i, j) in _offdiag_indices(d)])
-                 if d > 1 else jnp.zeros((0,), x.dtype))
-    parts.append(jnp.stack([cov_deriv(k, (), (i, i))(x, x_min)
-                            for i in range(d)]))
-    parts.append(jnp.stack([k(x, x_min)]))
-    return jnp.concatenate(parts)
+    return pes_cross_matrix(x[None], x_samples, x_min, sigma, lengths)[0]
 
 
 # ---------------------------------------------------------------------------

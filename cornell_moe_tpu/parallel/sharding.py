@@ -89,6 +89,42 @@ def sharded_multistart_optimize(
         all_points=finals, all_values=values)
 
 
+def sharded_multistart_optimize_batched(
+        batched_value_and_grad: Callable, domain,
+        initial_points: jax.Array,
+        params: optimizers.GradientDescentParameters, mesh: Mesh,
+        axis_name: str = "restarts") -> optimizers.MultistartResult:
+    """Sharded counterpart of :func:`optimizers.multistart_optimize_batched`.
+
+    This is the production KG suggest program (bench.py) scaled out: each
+    device runs the lockstep batched GD (gradient_ascent_batch) on its
+    shard of the restart axis — the batched objective's internal axes
+    (ensemble members, MC draws, inner descents) stay on-device, so the
+    only collective is the final argmax gather.  Per-start math is
+    independent, so results match the single-device path.
+    """
+    n_dev = mesh.shape[axis_name]
+    padded, n_valid = pad_to_multiple(initial_points, n_dev)
+
+    def local_shard(starts):
+        finals = optimizers.gradient_ascent_batch(
+            batched_value_and_grad, domain, starts, params)
+        values = batched_value_and_grad(finals)[0]
+        return finals, values
+
+    finals, values = jax.shard_map(
+        local_shard, mesh=mesh, in_specs=P(axis_name),
+        out_specs=P(axis_name))(padded)
+
+    values = values[:n_valid]
+    finals = finals[:n_valid]
+    safe = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe)
+    return optimizers.MultistartResult(
+        best_point=finals[best], best_value=values[best],
+        all_points=finals, all_values=values)
+
+
 def sharded_point_evaluation(value_fn: Callable, points: jax.Array,
                              mesh: Mesh, axis_name: str = "restarts"
                              ) -> jax.Array:

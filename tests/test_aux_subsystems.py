@@ -180,3 +180,59 @@ def test_checkpoint_restore_returns_rng_key(tmp_path, rng):
     _, _, arrays = checkpoint.restore_mcmc_model(path, return_arrays=True)
     np.testing.assert_array_equal(arrays["rng_key"],
                                   np.asarray(jax.random.PRNGKey(11)))
+
+
+def test_bayes_opt_kg_campaign_checkpoint_resume(tmp_path):
+    """Resume path of the real-function campaign configuration
+    (examples/run_cifar10_campaign.py): KG method, q>1, noisy
+    observations.  Uses a fast stand-in objective with the CIFAR10 domain
+    shape so the test stays CPU-cheap."""
+    from cornell_moe_tpu import bayes_opt
+    from cornell_moe_tpu.ops import optimizers
+
+    class FastDim5:
+        _dim = 5
+        _search_domain = np.array(
+            [[-6.0, 0.0], [32.0, 512.0], [5.0, 9.0], [5.0, 9.0],
+             [5.0, 9.0]])
+        _num_init_pts = 3
+        _sample_var = 1e-4
+        _min_value = 0.0
+        _observations = []
+        _num_fidelity = 0
+
+        def evaluate_true(self, x):
+            z = (np.asarray(x) - self._search_domain[:, 0]) / \
+                (self._search_domain[:, 1] - self._search_domain[:, 0])
+            return np.array([float(np.sum((z - 0.4) ** 2))])
+
+        def evaluate(self, x):
+            return self.evaluate_true(x) + 1e-2 * np.random.default_rng(
+                0).standard_normal(1)
+
+    fast = optimizers.GradientDescentParameters(
+        num_multistarts=2, max_num_steps=3, max_num_restarts=1,
+        num_steps_averaged=2, gamma=0.7, pre_mult=1.0,
+        max_relative_change=0.5)
+    inner = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=2, max_num_restarts=1,
+        num_steps_averaged=2, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    path = str(tmp_path / "campaign.ckpt")
+    kwargs = dict(method="KG", num_to_sample=2, num_mc=8, n_hypers=6,
+                  chain_length=10, burnin_steps=10, noisy=True,
+                  sgd_params=fast, inner_sgd_params=inner, verbose=False,
+                  checkpoint_path=path, shape_bucket=8)
+    bo = bayes_opt.BayesianOptimizer(objective_func=FastDim5(), **kwargs)
+    bo.run(num_iterations=1)
+    n_after_1 = bo.model._data.num_sampled
+    assert n_after_1 == 3 + 2
+
+    bo2 = bayes_opt.BayesianOptimizer(objective_func=FastDim5(), **kwargs)
+    meta = bo2.resume()
+    assert meta["iteration"] == 0
+    assert bo2.model._data.num_sampled == n_after_1
+    # resumed walkers must not repeat burn-in
+    assert bo2.model.burned
+    bo2.run(num_iterations=2, start_iteration=meta["iteration"] + 1)
+    assert bo2.model._data.num_sampled == n_after_1 + 2

@@ -100,3 +100,54 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_batched_kg_matches_single_device(rng):
+    """The PRODUCTION suggest program (batched ensemble KG multistart)
+    sharded over the mesh must match the single-device result — the
+    multi-chip analogue of the reference's single- vs multi-thread
+    consistency test (gpp_math_test.cpp:1850-1864)."""
+    from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
+    from cornell_moe_tpu.acquisition.expected_improvement import (
+        draw_antithetic_normals)
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    from cornell_moe_tpu.ops.domains import RepeatedDomain
+
+    n, d, s_ens, q, n_mc = 14, 2, 4, 2, 8
+    x = rng.random((n, d))
+    y = np.sin(3 * x[:, 0]) + x[:, 1] ** 2
+    hypers = np.abs(rng.standard_normal((s_ens, 1 + d))) + 0.7
+    noises = np.full((s_ens, 1), 1e-3)
+    states = mcmc_mod.fit_gp_ensemble(
+        "matern_2.5", jnp.asarray(hypers), jnp.asarray(noises),
+        jnp.asarray(x), jnp.asarray(y)[:, None])
+    domain = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    rep = RepeatedDomain(domain=domain, num_repeats=q)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=16, max_num_steps=3, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.3, max_relative_change=0.5)
+    inner = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=3, max_num_restarts=1,
+        num_steps_averaged=2, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    discrete = jnp.asarray(rng.random((s_ens, 5, d)))
+    bsf = jnp.full((s_ens,), float(y.min()))
+    normals = draw_antithetic_normals(jax.random.PRNGKey(3), n_mc, q)
+    starts = rep.generate_latin_hypercube_points(
+        jax.random.PRNGKey(4), params.num_multistarts)
+
+    def bvg(pts_batch):
+        return kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
+            states, pts_batch, discrete, normals, domain, inner, bsf, q)
+
+    single = optimizers.multistart_optimize_batched(
+        bvg, rep, starts, params)
+
+    mesh = shard_mod.default_mesh(8)
+    sharded = jax.jit(lambda st: shard_mod.sharded_multistart_optimize_batched(
+        bvg, rep, st, params, mesh))(starts)
+
+    np.testing.assert_allclose(np.asarray(sharded.all_values),
+                               np.asarray(single.all_values), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.best_point),
+                               np.asarray(single.best_point), rtol=1e-12)

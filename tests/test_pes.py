@@ -143,3 +143,40 @@ def test_run_pes_smoke(tmp_path):
     assert xs.shape[0] == 5   # 3 init + 2 suggested
     assert (tmp_path / "guesses.txt").exists()
     assert (tmp_path / "Ysamples.txt").exists()
+
+
+def test_closed_form_blocks_match_autodiff_oracle(rng):
+    """The broadcasted SE block builder equals the nested-autodiff oracle
+    (which itself replaces the reference's compute_covariance.py table)."""
+    import jax.numpy as jnp
+    from cornell_moe_tpu.acquisition import pes as pes_mod
+
+    n, d = 7, 3
+    x = jnp.asarray(rng.random((n, d)))
+    x_min = jnp.asarray(rng.random(d))
+    sigma, noise = 1.7, 1e-3
+    lengths = jnp.asarray(0.4 + rng.random(d))
+
+    fast = pes_mod.build_pes_covariance(x, x_min, sigma, lengths, noise)
+    oracle = pes_mod._build_pes_covariance_autodiff(
+        x, x_min, sigma, lengths, noise)
+    np.testing.assert_allclose(np.asarray(fast.K), np.asarray(oracle.K),
+                               rtol=1e-10, atol=1e-12)
+    assert (fast.n, fast.d, fast.n_off) == (oracle.n, oracle.d,
+                                            oracle.n_off)
+
+    xs = jnp.asarray(rng.random((4, d)))
+    got = pes_mod.pes_cross_matrix(xs, x, x_min, sigma, lengths)
+    k = pes_mod._se_kernel(sigma, lengths)
+    for r in range(4):
+        row = [pes_mod.cov_deriv(k, (), ())(xs[r], x[i])
+               for i in range(n)]
+        row += [pes_mod.cov_deriv(k, (), (i,))(xs[r], x_min)
+                for i in range(d)]
+        row += [pes_mod.cov_deriv(k, (), (i, j))(xs[r], x_min)
+                for (i, j) in pes_mod._offdiag_indices(d)]
+        row += [pes_mod.cov_deriv(k, (), (i, i))(xs[r], x_min)
+                for i in range(d)]
+        row += [k(xs[r], x_min)]
+        np.testing.assert_allclose(np.asarray(got[r]), np.asarray(row),
+                                   rtol=1e-10, atol=1e-12)
