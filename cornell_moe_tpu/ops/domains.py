@@ -209,3 +209,18 @@ class RepeatedDomain(struct.PyTreeNode):
 
 def tensor_product_domain(bounds) -> TensorProductDomain:
     return TensorProductDomain.from_bounds(bounds)
+
+
+class DummyDomain(struct.PyTreeNode):
+    """Domain containing every point (gpp_domain.hpp:47)."""
+
+    def check_point_inside(self, point: jax.Array) -> jax.Array:
+        return jnp.ones(jnp.asarray(point).shape[:-1], dtype=bool)
+
+    def clip(self, point: jax.Array) -> jax.Array:
+        return point
+
+    def limit_update(self, max_relative_change, current_point,
+                     update_vector):
+        del max_relative_change, current_point
+        return update_vector

@@ -57,3 +57,44 @@ def check_point_in_unit_simplex(point) -> bool:
     """CheckPointInUnitSimplex (gpp_geometry.hpp)."""
     point = np.asarray(point)
     return bool(np.all(point >= 0.0) and point.sum() <= 1.0)
+
+
+class Plane:
+    """Hyperplane a_0 + sum_i n_i x_i = 0 with unit normal.
+
+    Counterpart of ``Plane`` (gpp_geometry.hpp:139-260): signed distances,
+    orthogonal projection, and ray intersection distances — the geometry
+    primitives the reference's simplex-domain walls use.
+    """
+
+    def __init__(self, unit_normal, offset=None, point=None):
+        self.unit_normal = np.asarray(unit_normal, dtype=float)
+        if offset is not None:
+            self.offset = float(offset)
+        elif point is not None:
+            # plane through `point` with the given normal
+            self.offset = -float(np.dot(np.asarray(point, float),
+                                        self.unit_normal))
+        else:
+            self.offset = 0.0
+
+    @property
+    def dim(self) -> int:
+        return self.unit_normal.shape[0]
+
+    def orthogonal_distance_to_point(self, point) -> float:
+        """Signed shortest distance (positive = normal's half-space)."""
+        return float(np.dot(np.asarray(point, float), self.unit_normal)
+                     + self.offset)
+
+    def orthogonal_projection_onto_plane(self, point) -> np.ndarray:
+        """The plane point closest to ``point``."""
+        p = np.asarray(point, dtype=float)
+        return p - self.orthogonal_distance_to_point(p) * self.unit_normal
+
+    def distance_to_plane_along_vector(self, point, vector) -> float:
+        """Signed ray-intersection distance in units of ||vector||."""
+        p = np.asarray(point, float)
+        v = np.asarray(vector, float)
+        num = -self.offset - float(np.dot(p, self.unit_normal))
+        return num / float(np.dot(v, self.unit_normal))

@@ -190,3 +190,30 @@ def test_line_search_gradient_ascent():
     x0 = jnp.asarray([-1.5, 1.5])
     x_ls = optimizers.gradient_ascent_line_search(vg, dom, x0, params_huge)
     assert float(vg(x_ls)[0]) >= float(vg(x0)[0])
+
+
+def test_plane_geometry():
+    from cornell_moe_tpu.utils.geometry import Plane
+
+    n = np.array([0.6, 0.8])
+    pl = Plane(n, point=np.array([1.0, 1.0]))
+    assert abs(pl.orthogonal_distance_to_point([1.0, 1.0])) < 1e-12
+    d = pl.orthogonal_distance_to_point([2.0, 2.0])
+    np.testing.assert_allclose(d, 0.6 + 0.8, rtol=1e-12)
+    proj = pl.orthogonal_projection_onto_plane([2.0, 2.0])
+    assert abs(pl.orthogonal_distance_to_point(proj)) < 1e-12
+    t = pl.distance_to_plane_along_vector([2.0, 2.0], [-0.6, -0.8])
+    np.testing.assert_allclose(t, 1.4, rtol=1e-12)
+
+
+def test_dummy_domain():
+    from cornell_moe_tpu.ops.domains import DummyDomain
+
+    dom = DummyDomain()
+    pts = jnp.asarray([[5.0, -3.0], [100.0, 0.0]])
+    assert bool(jnp.all(dom.check_point_inside(pts)))
+    np.testing.assert_array_equal(np.asarray(dom.clip(pts)),
+                                  np.asarray(pts))
+    step = jnp.asarray([1.0, -2.0])
+    np.testing.assert_array_equal(
+        np.asarray(dom.limit_update(0.5, pts[0], step)), np.asarray(step))
