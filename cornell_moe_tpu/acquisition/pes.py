@@ -327,7 +327,7 @@ def expectation_propagation(channels: PESChannels, y: jax.Array,
     w_diag = jnp.concatenate([jnp.zeros((nc,), y.dtype), v_tilde])
     k_plus_w_inv = jnp.linalg.inv(linalg.symmetrize(kk + jnp.diag(w_diag)))
     c_and_m = jnp.concatenate([c, m_tilde])
-    return k_plus_w_inv, c_and_m
+    return k_plus_w_inv, c_and_m, (m_tilde, v_tilde_inv)
 
 
 def make_pes_state(x_samples: jax.Array, y: jax.Array, x_min: jax.Array,
@@ -344,7 +344,7 @@ def make_pes_state(x_samples: jax.Array, y: jax.Array, x_min: jax.Array,
     hess_off = jnp.stack([hess_at_min[i, j] for (i, j) in off_idx]) \
         if off_idx else jnp.zeros((0,), y.dtype)
 
-    k_plus_w_inv, c_and_m = expectation_propagation(
+    k_plus_w_inv, c_and_m, _sites = expectation_propagation(
         channels, y, hess_off, noise, num_ep_iterations)
 
     k_star_min = pes_cross_vector(x_min, x_samples, x_min, sigma, lengths)

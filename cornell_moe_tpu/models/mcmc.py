@@ -326,28 +326,50 @@ class GaussianProcessLogLikelihoodMCMC:
         self._finalize_models()
 
     def optimize(self, num_restarts: int = 1) -> None:
-        """MAP alternative to train() (log_likelihood_mcmc.py:241),
-        polished with scipy L-BFGS-B on the jitted objective."""
-        import scipy.optimize
+        """MAP alternative to train() (log_likelihood_mcmc.py:241).
 
-        log_post = jax.jit(self._make_log_posterior())
-        grad_fn = jax.jit(jax.grad(
-            lambda t: -self._make_log_posterior()(t[None])[0]))
+        On-device multistart damped Newton on the log posterior — the
+        reference's MultistartNewtonHyperparameterOptimization shape
+        (gpp_model_selection.hpp) as one jitted program, replacing the
+        earlier scipy L-BFGS-B loop that crossed the host per
+        objective/gradient call.
+        """
+        from cornell_moe_tpu.ops import optimizers as opt_mod
+        from cornell_moe_tpu.ops.domains import TensorProductDomain
 
-        def nll(t):
-            v = float(log_post(jnp.asarray(t)[None])[0])
-            return -v if np.isfinite(v) else 1e25
+        x, y, point_noise = self._padded_data()
+        lp = self._log_posterior_with_data()
+        dtype = x.dtype
+        n_dims = self.prior.n_dims
+        dom = TensorProductDomain(bounds=jnp.tile(
+            jnp.asarray([[-LOG_BOUND + 1e-3, LOG_BOUND - 1e-3]], dtype),
+            (n_dims, 1)))
+        nparams = opt_mod.NewtonParameters(
+            num_multistarts=max(num_restarts, 1), max_num_steps=40,
+            gamma=1.05, time_factor=1e-2, max_relative_change=1.0)
 
-        best, best_val = None, np.inf
-        for _ in range(max(num_restarts, 1)):
-            self._key, k = jax.random.split(self._key)
-            t0 = np.asarray(self.prior.sample_from_prior(k, 1))[0]
-            res = scipy.optimize.minimize(
-                nll, t0, jac=lambda t: np.asarray(grad_fn(jnp.asarray(t))),
-                method="L-BFGS-B")
-            if res.fun < best_val:
-                best, best_val = res.x, res.fun
-        self.hypers = np.asarray(best)[None, :]
+        self._key, k = jax.random.split(self._key)
+        starts = jnp.clip(
+            self.prior.sample_from_prior(k, max(num_restarts, 1)),
+            -LOG_BOUND + 1e-3, LOG_BOUND - 1e-3).astype(dtype)
+
+        def run(starts, x, y, point_noise):
+            def vg(t):
+                return jax.value_and_grad(
+                    lambda tt: lp(tt[None], x, y, point_noise)[0])(t)
+
+            finals = jax.vmap(lambda t0: opt_mod.newton_optimize(
+                vg, dom, t0, nparams))(starts)
+            vals = jax.vmap(lambda t: vg(t)[0])(finals)
+            return finals, vals
+
+        finals, vals = jax.jit(run)(starts, x, y, point_noise)
+        safe = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+        pick = int(jnp.argmax(safe))
+        # fall back to the best start if Newton diverged everywhere
+        if not bool(jnp.isfinite(vals[pick])):
+            finals, pick = starts, 0
+        self.hypers = np.asarray(finals)[pick][None, :]
         self._finalize_models()
 
     def _finalize_models(self) -> None:

@@ -180,3 +180,66 @@ def test_closed_form_blocks_match_autodiff_oracle(rng):
         row += [k(xs[r], x_min)]
         np.testing.assert_allclose(np.asarray(got[r]), np.asarray(row),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_ep_reaches_moment_matching_fixed_point(rng):
+    """The damped fixed-schedule EP must land on the moment-matching fixed
+    point the reference's tolerance-driven loop iterates to (EP.py:23):
+    at convergence each site's tilted moments equal the approximate
+    posterior marginals."""
+    import math as _math
+
+    import jax.numpy as jnp
+    from jax.scipy.special import log_ndtr
+
+    from cornell_moe_tpu.acquisition import pes as pes_mod
+
+    n, d = 8, 2
+    x = jnp.asarray(rng.random((n, d)))
+    y = jnp.asarray(np.sin(4 * rng.random(n)) + 0.5)
+    x_min = jnp.asarray(rng.random(d))
+    sigma, noise = 1.4, 1e-3
+    lengths = jnp.asarray(0.5 + 0.3 * rng.random(d))
+    channels = pes_mod.build_pes_covariance(x, x_min, sigma, lengths,
+                                            noise)
+    hess_off = jnp.asarray(rng.standard_normal(d * (d - 1) // 2) * 0.1)
+
+    kw, cm, (m_tilde, v_tilde_inv) = pes_mod.expectation_propagation(
+        channels, y, hess_off, noise, num_iterations=200)
+
+    # (a) the fixed schedule has converged: doubling the iteration count
+    # does not move the sites or the conditioned posterior (the reference
+    # loop iterates to a 1e-20 delta tolerance instead, EP.py:23)
+    kw2, cm2, (m_t2, v_ti2) = pes_mod.expectation_propagation(
+        channels, y, hess_off, noise, num_iterations=400)
+    np.testing.assert_allclose(np.asarray(m_tilde), np.asarray(m_t2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_tilde_inv), np.asarray(v_ti2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(kw), np.asarray(kw2),
+                               rtol=1e-8, atol=1e-10)
+
+    # (b) the diagonal-Hessian positivity sites satisfy the EP
+    # moment-matching condition: each site's truncated-Gaussian tilted
+    # moments equal the approximate posterior marginals (independent
+    # re-derivation, not the update code's formulas)
+    kk = channels.K
+    nc = channels.n + channels.d + channels.n_off
+    for j in range(d):
+        row = kk[nc + j]
+        m_j = float(row @ kw @ cm)
+        v_j = float(kk[nc + j, nc + j] - row @ kw @ row)
+        vti = float(v_tilde_inv[j])
+        mt = float(m_tilde[j])
+        v_cav = 1.0 / (1.0 / v_j - vti)
+        m_cav = v_cav * (m_j / v_j - mt * vti)
+        alpha = m_cav / _math.sqrt(v_cav)
+        ratio = _math.exp(-0.5 * alpha**2
+                          - 0.5 * _math.log(2 * _math.pi)
+                          - float(log_ndtr(alpha)))
+        m_tilt = m_cav + ratio * _math.sqrt(v_cav)
+        v_tilt = v_cav * (1.0 - ratio * (ratio + alpha))
+        assert abs(m_tilt - m_j) < 5e-6 * max(1.0, abs(m_j)), \
+            f"site {j}: tilted mean {m_tilt} != posterior {m_j}"
+        assert abs(v_tilt - v_j) < 5e-6 * max(1.0, abs(v_j)), \
+            f"site {j}: tilted var {v_tilt} != posterior {v_j}"
