@@ -407,9 +407,16 @@ DESCENT_PALLAS = "auto"
 
 
 def _descent_kernel_name(state: GaussianProcessState):
-    """Resolve the Pallas descent gate; None means use the XLA path."""
+    """Resolve the Pallas descent gate; None means use the XLA path.
+
+    The fused kernel iterates unions sequentially inside each program, so
+    it only wins when the per-(union, step) field block is MXU/VPU-sized;
+    at small num_sampled the fully-batched XLA einsum path is faster
+    (measured: 30-obs q-KG suite config regressed 0.49 -> 0.77 s under
+    the kernel; 500-obs bench improved 3.5 -> 3.0 s)."""
     if DESCENT_PALLAS == "never" or \
-            state.points_sampled.dtype != jnp.float32:
+            state.points_sampled.dtype != jnp.float32 or \
+            (DESCENT_PALLAS != "always" and state.num_sampled < 256):
         return None
     name = next((nm for nm, cls in cov_mod.COVARIANCE_TYPES.items()
                  if type(state.covariance) is cls), None)
@@ -641,11 +648,11 @@ def knowledge_gradient_batch(state: GaussianProcessState,
                       precision=linalg.HIGHEST)
     ksv = jnp.einsum("bsn,bnq->bsq", k_sx, v,
                      precision=linalg.HIGHEST)
+    # the q_ch-sized contractions stay elementwise (VPU f32) instead of
+    # spawning 6-pass matmul emulations over ~4-wide dots
     mu_starts = state.mean + base[:, :, None] - \
-        jnp.einsum("bsq,mq->bsm", ksv, normals,
-                   precision=linalg.HIGHEST) + \
-        jnp.einsum("bsq,bmq->bsm", k_su, betas,
-                   precision=linalg.HIGHEST)
+        jnp.sum(ksv[:, :, None, :] * normals[None, None, :, :], axis=-1) \
+        + jnp.sum(k_su[:, :, None, :] * betas[:, None, :, :], axis=-1)
     x0_idx = jnp.argmin(lax.stop_gradient(mu_starts), axis=1)  # (B, n_mc)
     x0 = jnp.take_along_axis(starts, x0_idx[..., None], axis=1)
     mu_x0 = jnp.take_along_axis(mu_starts, x0_idx[:, None, :],
@@ -696,9 +703,13 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     x_star = lax.stop_gradient(x_star)
 
     # differentiable (live) evaluation at the descent endpoint; the seeding
-    # value at x0 (already live) guards against stray divergence
-    mu_star = _fantasy_mean_batch(state, x_star, unions, v, betas,
-                                  normals, ds, num_fidelity)
+    # value at x0 (already live) guards against stray divergence.
+    # rematerialized: recomputing the kernel rows in the backward pass is
+    # cheaper than staging the (B, M, N_ch) residuals through HBM
+    mu_star = jax.checkpoint(
+        lambda xs, u, vv, bb: _fantasy_mean_batch(
+            state, xs, u, vv, bb, normals, ds, num_fidelity))(
+        x_star, unions, v, betas)
     best_min = jnp.minimum(mu_star, mu_x0)                  # (B, n_mc)
     return jnp.mean(best_posterior[:, None] - best_min, axis=1)
 

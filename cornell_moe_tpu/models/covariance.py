@@ -205,45 +205,6 @@ def build_block_covariance(cov: StationaryCovariance, x1: jax.Array,
     return block.reshape(n1 * c1, n2 * c2)
 
 
-def value_and_grad_rows(cov: StationaryCovariance, x: jax.Array,
-                        grad_dims: Sequence[int], points: jax.Array,
-                        derivatives: Sequence[int]) -> jax.Array:
-    """Covariance row-block for one query point: value + gradient rows.
-
-    Returns ``(1 + len(grad_dims), n * (1 + m))`` where row 0 holds
-    ``k(x, .)`` over the training channels and row ``1+i`` holds
-    ``d k / d x_{grad_dims[i]}`` of those entries.  Equivalent to
-    ``build_block_covariance(cov, x[None], grad_dims, points, derivatives)``
-    but assembled with stacks instead of scatter updates — the form that
-    stays cheap under heavy vmap (the KG inner loop evaluates this for
-    every (restart, draw, GD-step)).
-    """
-    gd = tuple(int(i) for i in grad_dims)
-    dv = tuple(int(i) for i in derivatives)
-    inv_l2 = 1.0 / cov.lengths**2
-    diff = x[None, :] - points                     # (n, dim)
-    t = diff * inv_l2
-    s = jnp.sum(diff * t, axis=-1)
-    f0 = cov._f0(s)
-    need_p = gd or dv
-    p = cov._p(s) if need_p else None
-
-    val_cols = [f0]
-    for c in dv:
-        val_cols.append(p * t[:, c])               # k01: deriv on train side
-    rows = [jnp.stack(val_cols, axis=1).reshape(-1)]
-
-    if gd:
-        q = cov._q(s) if dv else None
-        for i in gd:
-            cols = [-p * t[:, i]]                  # k10
-            for c in dv:
-                delta = inv_l2[c] * p if c == i else 0.0
-                cols.append(delta - q * t[:, i] * t[:, c])   # k11
-            rows.append(jnp.stack(cols, axis=1).reshape(-1))
-    return jnp.stack(rows)
-
-
 def build_covariance_matrix(cov: StationaryCovariance, points: jax.Array,
                             derivatives: Sequence[int]) -> jax.Array:
     """Training covariance K over (value + derivative) channels.

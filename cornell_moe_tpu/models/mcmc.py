@@ -24,6 +24,7 @@ serial loop (gpp_knowledge_gradient_mcmc_optimization.cpp:137-143).
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -45,6 +46,15 @@ NOISELESS_VALUE = 1.0e-8
 # Noise assigned to shape-bucket padding points: large enough that they
 # carry no information, small enough to keep f32 Cholesky well-scaled.
 PAD_NOISE = 1.0e8
+
+# Gate for the fused Pallas LML kernel in the MCMC chain:
+# "never" (default) = the vmapped XLA path; "auto" = TPU/f32;
+# "always" = force (tests use interpret through the kernel directly).
+# Default off: the kernel matches the numpy reference in interpret mode
+# (tests/test_pallas_descent.py) but the compiled Mosaic lowering still
+# produces NaNs at multi-panel sizes on the tunnel — re-enable once that
+# is resolved; the XLA chain path is the measured 2.77 s retrain.
+LML_PALLAS = "never"
 
 
 def bucket_size(n: int, bucket: int) -> int:
@@ -271,8 +281,72 @@ class GaussianProcessLogLikelihoodMCMC:
             val = lp + lml
             return jnp.where(in_bounds & jnp.isfinite(val), val, -jnp.inf)
 
-        return jax.vmap(log_posterior_single, in_axes=(0, None, None,
-                                                       None))
+        vmapped = jax.vmap(log_posterior_single, in_axes=(0, None, None,
+                                                          None))
+        if self._derivatives or self.kernel_name not in \
+                cov_mod.COVARIANCE_TYPES or LML_PALLAS == "never":
+            return vmapped
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        if not on_tpu and LML_PALLAS != "always":
+            return vmapped
+
+        kernel_name = self.kernel_name
+
+        def log_posterior_batch(thetas, x, y, point_noise):
+            """All walkers through the fused Pallas LML kernel.
+
+            One program per WB walkers runs K build + blocked Cholesky +
+            forward substitution + logdet entirely in VMEM
+            (ops/pallas_kernels.pallas_lml_quad_logdet) — the stretch-move
+            chain's per-step cost is otherwise dominated by XLA's
+            latency-bound batched small Cholesky.
+            """
+            from cornell_moe_tpu.ops import pallas_kernels as pk
+
+            n_obs = x.shape[0]
+            if x.dtype != jnp.float32 or n_obs > 1024:
+                return vmapped(thetas, x, y, point_noise)
+            w = thetas.shape[0]
+            wb = 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)
+            # keep the per-program K scratch + trailing update <= ~8 MB
+            npad = -(-n_obs // 128) * 128
+            while wb > 1 and wb * npad * npad * 8 > 8 * 2**20:
+                wb //= 2
+            lp = jax.vmap(prior.lnprob)(thetas)
+            in_bounds = jnp.all(jnp.abs(thetas) <= LOG_BOUND, axis=1)
+            hyps = jnp.exp(thetas)
+            alphas = hyps[:, 0]
+            lengths = hyps[:, 1:dim + 1]
+            if noisy:
+                noise = hyps[:, dim + 1]
+            else:
+                noise = jnp.full((w,), NOISELESS_VALUE, thetas.dtype)
+
+            n = x.shape[0]
+            np_ = -(-n // 128) * 128
+            us = jnp.swapaxes(x, 0, 1)[None] / lengths[:, :, None]
+            if np_ != n:
+                pad = 1e6 * (jnp.arange(np_ - n, dtype=jnp.float32) + 1.0)
+                us = jnp.concatenate([
+                    us, jnp.broadcast_to(pad[None, None, :],
+                                         (w, dim, np_ - n))], axis=-1)
+            nv = jnp.broadcast_to(noise[:, None], (w, n))
+            if point_noise is not None:
+                nv = nv + point_noise[None, :, 0]
+            nv = jnp.pad(nv, ((0, 0), (0, np_ - n)), constant_values=1e8)
+            yb = jnp.pad(jnp.broadcast_to(y[None, :, 0], (w, n)),
+                         ((0, 0), (0, np_ - n)))
+            quad, logdet = pk.pallas_lml_quad_logdet(
+                us, alphas, nv, yb, kernel_name, n_real=n, wb=wb)
+            lml = (-0.5 * quad - logdet
+                   - 0.5 * n * math.log(2.0 * math.pi))
+            val = lp + lml
+            return jnp.where(in_bounds & jnp.isfinite(val), val, -jnp.inf)
+
+        return log_posterior_batch
 
     def _make_log_posterior(self):
         x, y, point_noise = self._padded_data()

@@ -169,6 +169,158 @@ def pallas_covariance_with_noise_full(points: jax.Array,
     return out[:n, :n]
 
 
+# ---------------------------------------------------------------------------
+# Fused LML kernel: K build + blocked Cholesky + solve + logdet
+# ---------------------------------------------------------------------------
+#
+# The MCMC hot loop evaluates the log marginal likelihood of ~16 walker
+# proposals per stretch-move step; XLA runs the batched Cholesky as a long
+# sequence of tiny panel ops (latency-bound, ~1.5 ms) plus separate build
+# and solve passes.  This kernel processes WB walkers per program with the
+# walker axis vectorized through every column step: build K in VMEM,
+# blocked left-looking-in-panel/right-looking-across-panel Cholesky in the
+# (column, row) layout, forward substitution fused into the column loop,
+# and the log-determinant accumulated from the pivots.  Nothing but the
+# (WB,) scalars returns to HBM.
+
+def _lml_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref, logdet_ref,
+                kb, dscr, *, kernel_name, d, n_real, np_, pb, wb):
+    # --- build K + diag(noise), (col, row) layout (K is symmetric);
+    # per-walker to keep the (Np, Np) temporaries at one matrix ---------
+    ii = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    jj_ = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    eye = (ii == jj_).astype(jnp.float32)
+    for w in range(wb):
+        s = None
+        for dd in range(d):
+            u = us_ref[w, dd, :]                     # (Np,)
+            diff = u[:, None] - u[None, :]
+            s = diff * diff if s is None else s + diff * diff
+        if kernel_name == "square_exponential":
+            k = jnp.exp(-0.5 * s)
+        else:
+            r = jnp.sqrt(s)
+            k = (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
+                jnp.exp(-_SQRT5 * r)
+        kb[w] = alpha_ref[0, 0, w] * k + eye * noise_ref[0, w][:, None]
+
+    iota_n = jax.lax.broadcasted_iota(
+        jnp.int32, (np_, 1), 0)[:, 0]                # (Np,)
+    iota_p = jax.lax.broadcasted_iota(
+        jnp.int32, (pb, 1), 0)[:, 0]                 # (PB,)
+
+    yres = y_ref[0]                                  # (WB, Np) residual
+    quad = jnp.zeros((wb,), jnp.float32)
+    logdet = jnp.zeros((wb,), jnp.float32)
+
+    num_panels = np_ // pb
+    for p in range(num_panels):                      # static
+        j0 = p * pb
+        # scratch starts as garbage; unwritten rows must contract to 0
+        dscr[:] = jnp.zeros((wb, pb, pb), jnp.float32)
+
+        def col_step(j, carry):
+            yres, quad, logdet = carry
+            jj = j0 + j
+            onehot_p = (iota_p == j).astype(jnp.float32)     # (PB,)
+            onehot_f = (iota_n == jj).astype(jnp.float32)    # (Np,)
+            # L[jj, j0+k] for k<j from the panel-diagonal scratch
+            # (masked reduce — Mosaic has no batched in-kernel dots)
+            vrow = jnp.sum(dscr[:] * onehot_p[None, None, :],
+                           axis=2)                           # (WB, PB)
+            vrow = vrow * (iota_p < j).astype(jnp.float32)
+            rows = []
+            for w in range(wb):                              # per-walker dot
+                prod = jax.lax.dot_general(
+                    vrow[w][None, :], kb[w, j0:j0 + pb, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (1, Np)
+                rows.append(kb[w, jj, :] - prod[0])
+            c = jnp.stack(rows)                              # (WB, Np)
+            dsq = jnp.sum(c * onehot_f[None, :], axis=1)     # (WB,)
+            dpiv = jnp.sqrt(dsq)
+            below = (iota_n > jj).astype(jnp.float32)
+            lcol = c * below[None, :] / dpiv[:, None] + \
+                onehot_f[None, :] * dpiv[:, None]
+            kb[:, jj, :] = lcol
+            dscr[:, j, :] = lcol[:, j0:j0 + pb]
+            # forward substitution step
+            yj = jnp.sum(yres * onehot_f[None, :], axis=1)   # (WB,)
+            z = yj / dpiv
+            yres = yres - z[:, None] * lcol * below[None, :]
+            real = (jj < n_real).astype(jnp.float32)
+            quad = quad + real * z * z
+            logdet = logdet + real * jnp.log(dpiv)
+            return (yres, quad, logdet)
+
+        yres, quad, logdet = jax.lax.fori_loop(
+            0, pb, col_step, (yres, quad, logdet))
+
+        if p + 1 < num_panels:
+            # trailing residual update: columns >= j0+pb
+            mask_c = (iota_n >= j0 + pb).astype(jnp.float32)
+            for w in range(wb):
+                lp = kb[w, j0:j0 + pb, :]                    # (PB, Np)
+                upd = jax.lax.dot_general(
+                    lp, lp, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Np, Np)
+                kb[w] = kb[w] - upd * mask_c[:, None]
+
+    quad_ref[0, 0, :] = quad
+    logdet_ref[0, 0, :] = logdet
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "n_real",
+                                             "wb", "interpret"))
+def pallas_lml_quad_logdet(us: jax.Array, alpha: jax.Array,
+                           noise_vec: jax.Array, y: jax.Array,
+                           kernel_name: str = "matern_2.5",
+                           n_real: int = None, wb: int = 4,
+                           interpret: bool = False):
+    """(y^T K^-1 y, sum log diag(chol K)) for a batch of walkers.
+
+    us: (W, d, Np) scaled points per walker, padded columns at distinct
+    huge offsets; alpha: (W,) amplitudes; noise_vec: (W, Np) total
+    per-point diagonal noise (huge on padding); y: (W, Np) centered
+    values (zero on padding).  Np must be a multiple of 128 and W of wb.
+    """
+    w, d, np_ = us.shape
+    pb = 128
+    grid = w // wb
+    # blocked axes lead; the last two dims of every operand block equal the
+    # array's (Mosaic's block-shape constraint)
+    quad, logdet = pl.pallas_call(
+        functools.partial(_lml_kernel, kernel_name=kernel_name, d=d,
+                          n_real=n_real, np_=np_, pb=pb, wb=wb),
+        out_shape=(jax.ShapeDtypeStruct((grid, 1, wb), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 1, wb), jnp.float32)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((wb, d, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wb, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wb, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((wb, np_, np_), jnp.float32),
+            pltpu.VMEM((wb, pb, pb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(us.astype(jnp.float32),
+      alpha.reshape(grid, 1, wb).astype(jnp.float32),
+      noise_vec.reshape(grid, wb, np_).astype(jnp.float32),
+      y.reshape(grid, wb, np_).astype(jnp.float32))
+    return quad.reshape(w), logdet.reshape(w)
+
+
 def pallas_available_for(x: jax.Array, derivatives) -> bool:
     """Gate: TPU backend, float32, value-only channels, worthwhile size."""
     try:

@@ -125,3 +125,78 @@ def test_small_cholesky_and_solves(rng):
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(chol, -1, -2) @ xt), np.asarray(rhs),
         rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_lml_kernel_matches_reference(rng):
+    """Fused build+Cholesky+solve+logdet kernel vs the numpy reference,
+    including padded columns."""
+    from cornell_moe_tpu.ops import pallas_kernels as pk
+
+    W, n, d = 8, 37, 2
+    np_ = 128
+    x = rng.random((n, d)).astype(np.float32)
+    lengths = (0.3 + 0.4 * rng.random((W, d))).astype(np.float32)
+    alphas = (0.8 + rng.random(W)).astype(np.float32)
+    noises = (1e-2 + 1e-2 * rng.random(W)).astype(np.float32)
+    y = np.sin(3 * x[:, 0]).astype(np.float32)
+
+    us = np.zeros((W, d, np_), np.float32)
+    noise_vec = np.zeros((W, np_), np.float32)
+    y_pad = np.zeros((W, np_), np.float32)
+    for w in range(W):
+        us[w, :, :n] = (x / lengths[w]).T
+        us[w, :, n:] = 1e6 * (np.arange(np_ - n) + 1)[None, :]
+        noise_vec[w, :n] = noises[w]
+        noise_vec[w, n:] = 1e8
+        y_pad[w, :n] = y
+
+    quad, logdet = pk.pallas_lml_quad_logdet(
+        jnp.asarray(us), jnp.asarray(alphas), jnp.asarray(noise_vec),
+        jnp.asarray(y_pad), "matern_2.5", n_real=n, wb=4, interpret=True)
+
+    s5 = np.sqrt(5.0)
+    for w in range(W):
+        diff = (x[:, None, :] - x[None, :, :]) / lengths[w]
+        s = np.sum(diff * diff, -1)
+        r = np.sqrt(s)
+        k = alphas[w] * (1 + s5 * r + 5 * s / 3) * np.exp(-s5 * r) + \
+            noises[w] * np.eye(n)
+        chol = np.linalg.cholesky(k.astype(np.float64))
+        ref_logdet = np.sum(np.log(np.diag(chol)))
+        z = np.linalg.solve(chol, y.astype(np.float64))
+        np.testing.assert_allclose(float(quad[w]), float(z @ z),
+                                   rtol=5e-4)
+        np.testing.assert_allclose(float(logdet[w]), ref_logdet,
+                                   rtol=5e-4)
+
+
+def test_mcmc_pallas_log_posterior_matches_vmapped(rng, monkeypatch):
+    """The batched Pallas log-posterior equals the vmapped XLA path."""
+    import functools
+
+    from cornell_moe_tpu.models import mcmc
+    from cornell_moe_tpu.ops import pallas_kernels as pk
+    from cornell_moe_tpu.utils.data_containers import HistoricalData
+
+    monkeypatch.setattr(mcmc, "LML_PALLAS", "always")
+    monkeypatch.setattr(
+        pk, "pallas_lml_quad_logdet",
+        functools.partial(pk.pallas_lml_quad_logdet, interpret=True))
+
+    n = 21
+    x = rng.random((n, 2)).astype(np.float32)
+    y = np.sin(3 * x[:, 0]).astype(np.float32)
+    data = HistoricalData(dim=2)
+    data.append_historical_data(x, y)
+    m = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, noisy=True, bucket=8, rng_key=jax.random.PRNGKey(0))
+    xp, yp, pn = m._padded_data()
+    xp, yp = xp.astype(jnp.float32), yp.astype(jnp.float32)
+    pn = None if pn is None else pn.astype(jnp.float32)
+    thetas = jnp.asarray(0.2 * rng.standard_normal((8, 4)), jnp.float32)
+
+    fast = m._log_posterior_with_data()(thetas, xp, yp, pn)
+    monkeypatch.setattr(mcmc, "LML_PALLAS", "never")
+    slow = m._log_posterior_with_data()(thetas, xp, yp, pn)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-4, atol=1e-4)
