@@ -703,13 +703,11 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     x_star = lax.stop_gradient(x_star)
 
     # differentiable (live) evaluation at the descent endpoint; the seeding
-    # value at x0 (already live) guards against stray divergence.
-    # rematerialized: recomputing the kernel rows in the backward pass is
-    # cheaper than staging the (B, M, N_ch) residuals through HBM
-    mu_star = jax.checkpoint(
-        lambda xs, u, vv, bb: _fantasy_mean_batch(
-            state, xs, u, vv, bb, normals, ds, num_fidelity))(
-        x_star, unions, v, betas)
+    # value at x0 (already live) guards against stray divergence
+    # (a jax.checkpoint remat here was tried and reverted: recomputing the
+    # kernel rows in the backward pass measured slower than staging them)
+    mu_star = _fantasy_mean_batch(state, x_star, unions, v, betas,
+                                  normals, ds, num_fidelity)
     best_min = jnp.minimum(mu_star, mu_x0)                  # (B, n_mc)
     return jnp.mean(best_posterior[:, None] - best_min, axis=1)
 
