@@ -654,9 +654,14 @@ def knowledge_gradient_batch(state: GaussianProcessState,
         jnp.sum(ksv[:, :, None, :] * normals[None, None, :, :], axis=-1) \
         + jnp.sum(k_su[:, :, None, :] * betas[:, None, :, :], axis=-1)
     x0_idx = jnp.argmin(lax.stop_gradient(mu_starts), axis=1)  # (B, n_mc)
-    x0 = jnp.take_along_axis(starts, x0_idx[..., None], axis=1)
-    mu_x0 = jnp.take_along_axis(mu_starts, x0_idx[:, None, :],
-                                axis=1)[:, 0, :]            # (B, n_mc)
+    # one-hot contraction instead of a gather (TPU gathers are slow) and
+    # the live x0 guard value is simply the min over starts
+    onehot = jax.nn.one_hot(x0_idx, n_s, axis=1,
+                            dtype=starts.dtype)             # (B, n_s, n_mc)
+    x0 = jnp.sum(onehot[..., None] *
+                 lax.stop_gradient(starts)[:, :, None, :],
+                 axis=1)                                    # (B, n_mc, d')
+    mu_x0 = jnp.min(mu_starts, axis=1)                      # (B, n_mc)
 
     # --- inner descent: all (B, n_mc) posterior-mean minimizations in
     # lockstep under the frozen fantasy model (envelope theorem)
