@@ -95,10 +95,10 @@ def main():
     starts = rep.generate_latin_hypercube_points(
         jax.random.PRNGKey(1), outer_params.num_multistarts).astype(dtype)
 
-    # chunk 25 measured best on v5e (50: 3.05s, 100: 3.45s, 10: 3.09s
-    # vs 25: 2.96s at the r2 state): the fused descent kernel serializes
-    # over unions anyway, and small chunks pipeline better
-    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    # chunk 50 measured best on v5e at the end-of-r2 state (25: 2.33s,
+    # 50: 2.27s, 100: 2.30s): the fused descent kernel serializes over
+    # unions anyway, so moderate chunks amortize per-step overhead best
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
     def suggest(starts):
         def bvg(pts_batch):
