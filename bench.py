@@ -7,8 +7,9 @@ hyperparameter ensemble, 200 multistarts x 50 GD steps x 2 restarts,
 optimization per draw — the exact semantics the reference needs 100.08 s
 for at ~12 observations on 4 CPU threads (README.md:211).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}, where
-vs_baseline is the speedup factor over the reference's 100.08 s.
+Prints THREE JSON lines — suggest / per-iteration retrain / recommend —
+each {"metric", "value", "unit", "vs_baseline"} against the reference
+transcript's 100.08 / 5.53 / 1.67 s (README.md:211-220).
 """
 
 from __future__ import annotations
