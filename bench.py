@@ -2,10 +2,14 @@
 
 Workload: the reference's headline configuration scaled to the north-star
 problem size (BASELINE.json): q=4 suggestion, 500 observations, 16-sample
-hyperparameter ensemble, 200 multistarts x 50 GD steps x 2 restarts,
-2^7 antithetic MC fantasy draws with a GD-polished inner posterior-mean
-optimization per draw — the exact semantics the reference needs 100.08 s
-for at ~12 observations on 4 CPU threads (README.md:211).
+hyperparameter ensemble, 200 multistarts, 2^7 antithetic MC fantasy draws
+with a GD-polished inner posterior-mean optimization per draw — the
+semantics the reference needs 100.08 s for at ~12 observations on 4 CPU
+threads (README.md:211).  The outer solver runs 30 warm-started GD steps
+instead of the reference's 50 x 2 noisy-GD schedule; equivalence of the
+resulting suggestion (same points, same cold-evaluated KG within MC
+noise) is established by the committed sweep (benchmarks/SWEEP_r03.md)
+and re-evidenced every run by the printed CRN-seed KG spread.
 
 Prints THREE JSON lines — suggest / per-iteration retrain / recommend —
 each {"metric", "value", "unit", "vs_baseline"} against the reference
@@ -77,14 +81,29 @@ def main():
 
     domain = TensorProductDomain.from_bounds(bounds)
     rep = RepeatedDomain(domain=domain, num_repeats=q)
-    # reference knobs: examples/main.py:132-140
+    # Outer knobs: the reference runs 200 multistarts x (50 steps x 2
+    # restarts) of NOISY gradient ascent (examples/main.py:132-140;
+    # restarts exist because its per-step MC re-draws make GD jittery,
+    # gpp_optimization.hpp:619-705).  This objective is deterministic
+    # under CRN, and the inner descents are warm-started across outer
+    # steps ("reseed" mode: full seeding retained, estimator unchanged),
+    # so one 30-step round converges: the round-3 TPU sweep
+    # (benchmarks/SWEEP_r03.md) measured identical suggested points and
+    # best-KG within the f32 MC noise band for 2x50 cold (2.27 s) vs
+    # 1x30 warm (0.53 s); 1x50 and even 1x20 land on the same points.
+    # The cold (6-step-seeded) estimator still scores the final
+    # candidates.
     outer_params = optimizers.GradientDescentParameters(
-        num_multistarts=200, max_num_steps=50, max_num_restarts=2,
+        num_multistarts=200, max_num_steps=30, max_num_restarts=1,
         num_steps_averaged=4, gamma=0.7, pre_mult=1.0,
         max_relative_change=0.5)
-    inner_params = optimizers.GradientDescentParameters(
+    inner_cold = optimizers.GradientDescentParameters(
         num_multistarts=1, max_num_steps=6, max_num_restarts=1,
         num_steps_averaged=3, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    inner_warm = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=1, max_num_restarts=1,
+        num_steps_averaged=0, gamma=0.0, pre_mult=1.0,
         max_relative_change=0.1)
 
     discrete = jnp.asarray(
@@ -96,18 +115,22 @@ def main():
     starts = rep.generate_latin_hypercube_points(
         jax.random.PRNGKey(1), outer_params.num_multistarts).astype(dtype)
 
-    # chunk 50 measured best on v5e at the end-of-r2 state (25: 2.33s,
-    # 50: 2.27s, 100: 2.30s): the fused descent kernel serializes over
-    # unions anyway, so moderate chunks amortize per-step overhead best
-    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
+    def bvg_cold(pts_batch):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts_batch, discrete, normals, domain, inner_cold,
+            best_so_far, q)
+
+    def bvg_warm(pts_batch, carry):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts_batch, discrete, normals, domain, inner_warm,
+            best_so_far, q, inner_x0=carry, warm_mode="reseed")
 
     def suggest(starts):
-        def bvg(pts_batch):
-            return kg_mod.knowledge_gradient_mcmc_batch_value_and_grad(
-                states, pts_batch, discrete, normals, domain,
-                inner_params, best_so_far, q)
-        res = optimizers.multistart_optimize_batched(
-            bvg, rep, starts, outer_params, chunk_size=chunk)
+        res = optimizers.multistart_optimize_batched_warm(
+            bvg_cold, bvg_warm, rep, starts, outer_params,
+            chunk_size=chunk)
         return res.best_point, res.best_value
 
     suggest_jit = jax.jit(suggest)
@@ -135,6 +158,42 @@ def main():
     print(f"# compile+first-run {compile_and_first_run:.1f}s; "
           f"KG at best point {float(best_kg):.5f}; "
           f"device {jax.devices()[0].platform}", file=sys.stderr)
+
+    # --- estimator-noise + repair-shift evidence --------------------------
+    # (a) cold KG at the chosen point under 3 fresh CRN draws: the spread
+    # is the f32 MC tolerance any solver-config comparison lives inside.
+    # (b) the f32 diagonal repair in the fantasy build, measured at the
+    # bench problem: must stay far below the observation-noise floor
+    # (acquisition/knowledge_gradient.py:122-128 band-aid, round-2
+    # verdict weak-point 6).
+    @jax.jit
+    def kg_with_normals(pt, nm):
+        return kg_mod.knowledge_gradient_mcmc_batch(
+            states, pt[None], discrete, nm, domain, inner_cold,
+            best_so_far, q)[0]
+
+    kg_seeds = [float(kg_with_normals(
+        best_point, draw_antithetic_normals(jax.random.PRNGKey(100 + i),
+                                            num_mc, q, dtype=dtype)))
+        for i in range(3)]
+
+    @jax.jit
+    def max_repair(pts):
+        def one(s):
+            _, _, _, ne = kg_mod._build_fantasy_model_batch(s, pts, ())
+            return jnp.max(ne - jnp.tile(s.noise_variance[:1], q)[None])
+        return jnp.max(jax.vmap(one)(states))
+
+    repair_starts = float(max_repair(starts[:50]))
+    repair_best = float(max_repair(best_point[None]))
+    noise_floor = 1e-2
+    assert repair_best < 0.05 * noise_floor, \
+        f"f32 diag repair {repair_best} not << noise floor {noise_floor}"
+    print(f"# KG at best point under 3 fresh CRN seeds: "
+          f"{[round(v, 5) for v in kg_seeds]} (MC noise band); "
+          f"f32 diag repair max {repair_best:.2e} at best / "
+          f"{repair_starts:.2e} over 50 random unions vs noise floor "
+          f"{noise_floor}", file=sys.stderr)
 
     # --- retrain: per-iteration MCMC update at the same 500-obs problem ---
     # Reference: 5.53 s per iteration (emcee chain 1000 + burn-in 2000 at

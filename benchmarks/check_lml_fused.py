@@ -1,0 +1,103 @@
+"""Dev check: fused LML kernel compiled on the current backend (run on
+the TPU tunnel to validate the Mosaic lowering) vs numpy, plus a
+chain-shaped timing probe vs the XLA path.
+
+Round-3 v5e numbers: fused 0.788 ms vs XLA 1.502 ms per (W=8, 512)
+build+chol+solve+logdet (the XLA line excludes its ~0.24 ms K build; the
+fused kernel includes it).  A panel-hybrid intermediate (Pallas panel
+factor+inverse, XLA trailing updates) measured 1.15 ms and was removed.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cornell_moe_tpu.ops import pallas_kernels as pk
+
+rng = np.random.default_rng(0)
+W, N, n_real = 8, 512, 500
+a = np.zeros((W, N, N))
+y = np.zeros((W, N))
+xs = []
+for w in range(W):
+    x = rng.random((n_real, 2))
+    xs.append(x)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    k = 1.3 * np.exp(-0.5 * d2 / 0.3**2) + 1e-2 * np.eye(n_real)
+    a[w, :n_real, :n_real] = k
+    a[w, np.arange(n_real, N), np.arange(n_real, N)] = 1e8
+    y[w, :n_real] = rng.standard_normal(n_real)
+
+aj = jnp.asarray(a, jnp.float32)
+yj = jnp.asarray(y, jnp.float32)
+
+# fused operands (build happens in-kernel); reproduces the same K:
+# 1.3 * exp(-0.5 d2 / 0.3^2) + 1e-2 I
+us_np = np.zeros((W, 2, N), np.float32)
+nv_abs = np.zeros((W, N), np.float32)
+for w in range(W):
+    us_np[w, :, :n_real] = (xs[w] / 0.3).T
+    us_np[w, :, n_real:] = 1e6 * (np.arange(N - n_real) + 1)[None, :]
+    nv_abs[w, :n_real] = 1e-2
+    nv_abs[w, n_real:] = 1e8
+usj = jnp.asarray(us_np)
+nvj = jnp.asarray(nv_abs)
+alj = jnp.full((W,), 1.3, jnp.float32)
+qf, ldf = jax.block_until_ready(pk.pallas_lml_fused(
+    usj, alj, nvj, yj, "square_exponential", n_real=n_real, wb=8))
+ok = True
+for w in range(W):
+    chol = np.linalg.cholesky(a[w, :n_real, :n_real])
+    z = np.linalg.solve(chol, y[w, :n_real])
+    q_ref, ld_ref = float(z @ z), float(np.log(np.diag(chol)).sum())
+    eq = abs(float(qf[w]) - q_ref) / max(abs(q_ref), 1)
+    el = abs(float(ldf[w]) - ld_ref) / max(abs(ld_ref), 1)
+    ok &= np.isfinite(float(qf[w])) and eq < 2e-3 and el < 2e-3
+    print(f"fused w={w}: quad rel {eq:.2e}; logdet rel {el:.2e}",
+          flush=True)
+print("FUSED-COMPILED-CORRECTNESS:", "OK" if ok else "FAIL", flush=True)
+
+
+def xla_scan(a0):
+    def body(c, _):
+        chol = jnp.linalg.cholesky(c)
+        z = jax.scipy.linalg.solve_triangular(
+            chol, yj[..., None], lower=True)[..., 0]
+        q = jnp.sum(z * z, axis=1)
+        ld = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)),
+                     axis=1)
+        bump = (jnp.sum(q) + jnp.sum(ld)) * 1e-20
+        return c + bump, None
+    return lax.scan(body, a0, None, length=100)[0]
+
+
+def fused_scan(us0):
+    def body(c, _):
+        q, ld = pk.pallas_lml_fused(c, alj, nvj, yj,
+                                    "square_exponential",
+                                    n_real=n_real, wb=8)
+        bump = (jnp.sum(q) + jnp.sum(ld)) * 1e-20
+        return c + bump, None
+    return lax.scan(body, us0, None, length=100)[0]
+
+
+for name, fn, arg in (("xla", xla_scan, aj), ("fused", fused_scan, usj)):
+    f = jax.jit(fn)
+    t0 = time.time()
+    jax.block_until_ready(f(arg))
+    ct = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(f(arg))
+        ts.append(time.time() - t0)
+    print(f"{name}: {min(ts)/100*1000:.3f} ms per (W=8, 512) "
+          f"chol+solve+logdet (compile {ct:.0f}s)", flush=True)

@@ -153,7 +153,7 @@ def precompute_a2(unions):
 
 def live_eval(unions):
     def one(s, dpts, bsf):
-        mu_u, chol_u, v = kg_mod._build_fantasy_model_batch(s, unions, ())
+        mu_u, chol_u, v, _ne = kg_mod._build_fantasy_model_batch(s, unions, ())
         betas = jnp.swapaxes(linalg.solve_triangular_small(
             chol_u, jnp.broadcast_to(normals.T,
                                      (unions.shape[0], q, num_mc)),
@@ -221,7 +221,7 @@ def descent_only(unions):
     def one(s, dpts, bsf):
         ds = ()
         b, qq, dd = unions.shape
-        mu_u, chol_u, v = kg_mod._build_fantasy_model_batch(s, unions, ds)
+        mu_u, chol_u, v, _ne = kg_mod._build_fantasy_model_batch(s, unions, ds)
         betas = jnp.swapaxes(linalg.solve_triangular_small(
             chol_u, jnp.broadcast_to(normals.T, (b, qq, num_mc)),
             trans=True), -1, -2)

@@ -305,6 +305,10 @@ def heuristic_expected_improvement_optimization(
     y_pad = jnp.concatenate(
         [state.points_sampled_value, jnp.zeros((q, c), dtype)], axis=0)
     pn = jnp.zeros((n0 + q, c), dtype).at[n0:].set(PAD_NOISE)
+    if state.point_noise is not None:
+        # preserve the state's own per-point noise (e.g. shape-bucket
+        # PAD_NOISE dummy rows) instead of refitting them at full weight
+        pn = pn.at[:n0].set(state.point_noise)
     cov, noise, derivs, mean = (state.covariance, state.noise_variance,
                                 state.derivatives, state.mean)
 

@@ -267,7 +267,9 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
                                derivatives_to_sample: Sequence[int] = ()):
     """Batched fantasy precompute: unions is (B, q, dim).
 
-    Returns (mu_u (B, q_ch), chol_u (B, q_ch, q_ch), v (B, N, q_ch)).
+    Returns (mu_u (B, q_ch), chol_u (B, q_ch, q_ch), v (B, N, q_ch),
+    noise_eff (B, q_ch)) with noise_eff the total diagonal shift
+    (channel noise + f32 repair) baked into chol_u.
     """
     ds = tuple(int(i) for i in derivatives_to_sample)
     b, q, dim = unions.shape
@@ -304,7 +306,8 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
     w = (w0 + linalg.hdot(state.inv_chol_K.T, r2)).reshape(n_ch, b, q_ch)
     v = jnp.swapaxes(linalg.solve_triangular_small(
         chol_u, jnp.swapaxes(jnp.moveaxis(w, 1, 0), -1, -2)), -1, -2)
-    return mu_u, chol_u, v
+    noise_eff = noise[None, :] + repair[:, None]
+    return mu_u, chol_u, v, noise_eff
 
 
 def _kernel_rows_flat(state: GaussianProcessState, x_flat: jax.Array
@@ -313,10 +316,11 @@ def _kernel_rows_flat(state: GaussianProcessState, x_flat: jax.Array
 
     Returns (P, N*(1+m)) in the reference point-major/channel-minor layout
     (row b of BuildMixCovarianceMatrix, gpp_math.cpp:391-460).  The squared
-    scaled distance is computed in norm-expansion form so the cross term is
-    one (P, dim) x (dim, N) MXU matmul instead of a (P, N, dim) broadcast
-    tensor — the form that keeps the KG inner descent (P ~ 10^5 points per
-    GD step) on the MXU.
+    scaled distance uses the broadcast diff form: at BayesOpt dims the
+    (P, N, d) broadcast is elementwise work XLA fuses straight into the
+    kernel fields feeding the downstream contraction matmuls (see the
+    inline comment below; the norm-expansion matmul form was tried and
+    removed).
     """
     cov = state.covariance
     pts = state.points_sampled
@@ -601,8 +605,9 @@ def knowledge_gradient_batch(state: GaussianProcessState,
                              unions: jax.Array, discrete_pts: jax.Array,
                              normals: jax.Array, domain, inner_params,
                              best_so_far, num_fidelity: int = 0,
-                             derivatives_to_sample: Sequence[int] = ()
-                             ) -> jax.Array:
+                             derivatives_to_sample: Sequence[int] = (),
+                             inner_x0=None, return_x_star: bool = False,
+                             warm_mode: str = "pure"):
     """KG at B unions at once: (B, q, dim) -> (B,).
 
     Identical estimator to :func:`knowledge_gradient`; requires a state
@@ -610,6 +615,25 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     posterior-mean descents step in lockstep: each GD step evaluates one
     (B*n_mc, N_ch) kernel-row block (MXU matmuls via the factored fantasy
     mean) instead of B*n_mc per-point kernel rows.
+
+    Warm start: ``inner_x0`` (B, n_mc, dim_opt), when given, starts the
+    inner descents from the previous outer step's argmins (which track the
+    slowly-moving fantasy minima, so ``inner_params.max_num_steps`` can
+    drop from ~6 to ~2).  Two modes:
+
+    * ``warm_mode="pure"`` skips the discretized-set seeding entirely; the
+      seed guard is replaced by the closed-form fantasy mean at the union
+      points, mu'(U) = mu_U + C z - noise_eff * beta (exact:
+      Sigma C^-T z with Sigma = C C^T - diag(noise_eff)), which covers
+      the basin-shift case of new minima appearing near the moving union.
+      Value-only channels, no fidelity dims.
+    * ``warm_mode="reseed"`` keeps the full seeding (estimator identical
+      to the cold path given the same descent endpoints); only the
+      descent start comes from the carry, and the returned carry
+      re-seeds any draw whose seeded guard beat the descended endpoint.
+
+    With ``return_x_star`` the carried endpoints (B, n_mc, dim_opt) are
+    returned as a second output.
     """
     ds = tuple(int(i) for i in derivatives_to_sample)
     b, q, dim = unions.shape
@@ -617,8 +641,15 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     q_ch = q * c
     n_mc = normals.shape[0]
     dim_opt = dim - num_fidelity
+    warm = inner_x0 is not None
+    pure_warm = warm and warm_mode == "pure"
+    if pure_warm and (state.derivatives or ds or num_fidelity):
+        raise NotImplementedError(
+            "pure warm-start KG requires value-only channels and no "
+            "fidelity dims; use warm_mode='reseed' or the cold path")
 
-    mu_u, chol_u, v = _build_fantasy_model_batch(state, unions, ds)
+    mu_u, chol_u, v, noise_eff = _build_fantasy_model_batch(state, unions,
+                                                            ds)
     best_posterior = jnp.minimum(
         best_so_far, jnp.min(mu_u.reshape(b, q, c)[:, :, 0], axis=1))
 
@@ -627,41 +658,67 @@ def knowledge_gradient_batch(state: GaussianProcessState,
         chol_u, jnp.broadcast_to(normals.T, (b, q_ch, n_mc)),
         trans=True), -1, -2)                           # (B, n_mc, q_ch)
 
-    # seeding over the discretized set, batched over unions
-    starts = jnp.concatenate([
-        jnp.broadcast_to(discrete_pts, (b,) + discrete_pts.shape),
-        lax.stop_gradient(unions[:, :, :dim_opt])], axis=1)  # (B, n_s, d')
-    n_s = starts.shape[1]
-    starts_full = jax.vmap(jax.vmap(
-        lambda p: _pin_fidelity(p, dim, num_fidelity)))(starts)
-    k_sx = _kernel_rows_flat(
-        state, starts_full.reshape(b * n_s, dim)).reshape(b, n_s, -1)
-    k_su = _union_rows(state.covariance, starts_full, unions, ds)
+    x0_seed = None
+    if pure_warm:
+        x0 = lax.stop_gradient(inner_x0)               # (B, n_mc, d')
+        # union-point guard, closed form and live (differentiable):
+        # mu'(U) = mu_U + C z - noise_eff * beta per draw
+        cz = jnp.einsum("bij,mj->bim", chol_u, normals)     # (B, q_ch, M)
+        mu_union_f = mu_u[:, :, None] + cz - \
+            noise_eff[:, :, None] * jnp.swapaxes(betas, -1, -2)
+        mu_x0 = jnp.min(mu_union_f, axis=1)                 # (B, n_mc)
+        # the winning union point doubles as the reseed candidate so the
+        # carry can jump basins toward the moving union
+        u_idx = jnp.argmin(lax.stop_gradient(mu_union_f), axis=1)
+        u_onehot = jax.nn.one_hot(u_idx, q_ch, axis=1,
+                                  dtype=unions.dtype)       # (B, q, M)
+        x0_seed = jnp.sum(
+            u_onehot[..., None] *
+            lax.stop_gradient(unions)[:, :, None, :dim_opt],
+            axis=1)                                         # (B, M, d')
+    else:
+        # seeding over the discretized set, batched over unions
+        starts = jnp.concatenate([
+            jnp.broadcast_to(discrete_pts, (b,) + discrete_pts.shape),
+            lax.stop_gradient(unions[:, :, :dim_opt])],
+            axis=1)                                         # (B, n_s, d')
+        n_s = starts.shape[1]
+        starts_full = jax.vmap(jax.vmap(
+            lambda p: _pin_fidelity(p, dim, num_fidelity)))(starts)
+        k_sx = _kernel_rows_flat(
+            state, starts_full.reshape(b * n_s, dim)).reshape(b, n_s, -1)
+        k_su = _union_rows(state.covariance, starts_full, unions, ds)
 
-    # mu'_z over the seed set, factored through the q_ch-dim fantasy
-    # subspace: mu' = mean + k_sx K_inv_y - (k_sx V) z + k_su beta.
-    # Contracting through q_ch (~4) instead of N (~500) per draw cuts the
-    # seeding einsums by ~N/q_ch.  Computed LIVE (differentiable through
-    # v/betas): the selected entry doubles as the mu'(x0) guard value in
-    # the final minimum, saving a separate full live evaluation.
-    base = jnp.einsum("bsn,n->bs", k_sx, state.K_inv_y,
-                      precision=linalg.HIGHEST)
-    ksv = jnp.einsum("bsn,bnq->bsq", k_sx, v,
-                     precision=linalg.HIGHEST)
-    # the q_ch-sized contractions stay elementwise (VPU f32) instead of
-    # spawning 6-pass matmul emulations over ~4-wide dots
-    mu_starts = state.mean + base[:, :, None] - \
-        jnp.sum(ksv[:, :, None, :] * normals[None, None, :, :], axis=-1) \
-        + jnp.sum(k_su[:, :, None, :] * betas[:, None, :, :], axis=-1)
-    x0_idx = jnp.argmin(lax.stop_gradient(mu_starts), axis=1)  # (B, n_mc)
-    # one-hot contraction instead of a gather (TPU gathers are slow) and
-    # the live x0 guard value is simply the min over starts
-    onehot = jax.nn.one_hot(x0_idx, n_s, axis=1,
-                            dtype=starts.dtype)             # (B, n_s, n_mc)
-    x0 = jnp.sum(onehot[..., None] *
-                 lax.stop_gradient(starts)[:, :, None, :],
-                 axis=1)                                    # (B, n_mc, d')
-    mu_x0 = jnp.min(mu_starts, axis=1)                      # (B, n_mc)
+        # mu'_z over the seed set, factored through the q_ch-dim fantasy
+        # subspace: mu' = mean + k_sx K_inv_y - (k_sx V) z + k_su beta.
+        # Contracting through q_ch (~4) instead of N (~500) per draw cuts
+        # the seeding einsums by ~N/q_ch.  Computed LIVE (differentiable
+        # through v/betas): the selected entry doubles as the mu'(x0)
+        # guard value in the final minimum, saving a separate full live
+        # evaluation.
+        base = jnp.einsum("bsn,n->bs", k_sx, state.K_inv_y,
+                          precision=linalg.HIGHEST)
+        ksv = jnp.einsum("bsn,bnq->bsq", k_sx, v,
+                         precision=linalg.HIGHEST)
+        # the q_ch-sized contractions stay elementwise (VPU f32) instead
+        # of spawning 6-pass matmul emulations over ~4-wide dots
+        mu_starts = state.mean + base[:, :, None] - \
+            jnp.sum(ksv[:, :, None, :] * normals[None, None, :, :],
+                    axis=-1) \
+            + jnp.sum(k_su[:, :, None, :] * betas[:, None, :, :], axis=-1)
+        x0_idx = jnp.argmin(lax.stop_gradient(mu_starts),
+                            axis=1)                         # (B, n_mc)
+        # one-hot contraction instead of a gather (TPU gathers are slow)
+        # and the live x0 guard value is simply the min over starts
+        onehot = jax.nn.one_hot(x0_idx, n_s, axis=1,
+                                dtype=starts.dtype)     # (B, n_s, n_mc)
+        x0 = jnp.sum(onehot[..., None] *
+                     lax.stop_gradient(starts)[:, :, None, :],
+                     axis=1)                                # (B, n_mc, d')
+        mu_x0 = jnp.min(mu_starts, axis=1)                  # (B, n_mc)
+        if warm:                                            # "reseed" mode
+            x0_seed = x0
+            x0 = lax.stop_gradient(inner_x0)
 
     # --- inner descent: all (B, n_mc) posterior-mean minimizations in
     # lockstep under the frozen fantasy model (envelope theorem)
@@ -683,9 +740,16 @@ def knowledge_gradient_batch(state: GaussianProcessState,
         # Polyak averaging) runs in one fused Pallas kernel.
         kernel_name = _descent_kernel_name(state)
         if kernel_name is not None:
+            # off-TPU the compiled Mosaic kernel cannot run; when the
+            # "always" gate forces this path there (debugging), fall back
+            # to interpret mode so the production call keeps working
+            try:
+                interp = jax.default_backend() != "tpu"
+            except RuntimeError:
+                interp = True
             x_star = _pallas_descent_full(
                 state, frozen_unions, v_f, betas_f, normals, x0, domain,
-                inner_params, kernel_name)
+                inner_params, kernel_name, interpret=interp)
         else:
             bvg = _make_descent_grad_fn(state, frozen_unions, v_f,
                                         betas_f, normals)
@@ -714,7 +778,16 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     mu_star = _fantasy_mean_batch(state, x_star, unions, v, betas,
                                   normals, ds, num_fidelity)
     best_min = jnp.minimum(mu_star, mu_x0)                  # (B, n_mc)
-    return jnp.mean(best_posterior[:, None] - best_min, axis=1)
+    kg = jnp.mean(best_posterior[:, None] - best_min, axis=1)
+    if return_x_star:
+        if warm and x0_seed is not None:
+            # re-seed any draw whose guard candidate beat the descended
+            # endpoint, so the carry jumps basins instead of tracking a
+            # stale local minimum
+            won = lax.stop_gradient(mu_star <= mu_x0)[..., None]
+            x_star = jnp.where(won, x_star, x0_seed)
+        return kg, x_star
+    return kg
 
 
 def knowledge_gradient_mcmc_batch(states: GaussianProcessState,
@@ -724,19 +797,33 @@ def knowledge_gradient_mcmc_batch(states: GaussianProcessState,
                                   inner_params, best_so_far,
                                   num_to_sample: int,
                                   num_fidelity: int = 0,
-                                  derivatives_to_sample: Sequence[int] = ()
-                                  ) -> jax.Array:
+                                  derivatives_to_sample: Sequence[int] = (),
+                                  inner_x0=None,
+                                  return_x_star: bool = False,
+                                  warm_mode: str = "pure"):
     """Batched ensemble KG: (B, q, dim) -> (B,), averaged over members and
-    divided by the fidelity cost of each union."""
-    def one(s, dpts, bsf):
+    divided by the fidelity cost of each union.
+
+    ``inner_x0`` (S, B, n_mc, dim_opt) warm-starts every member's inner
+    descents (see :func:`knowledge_gradient_batch`); with
+    ``return_x_star`` the per-member descent endpoints come back in the
+    same shape for carrying across outer GD steps.
+    """
+    def one(s, dpts, bsf, x0):
         return knowledge_gradient_batch(
             s, unions, dpts, normals, domain, inner_params, bsf,
-            num_fidelity, derivatives_to_sample)
+            num_fidelity, derivatives_to_sample, inner_x0=x0,
+            return_x_star=True, warm_mode=warm_mode)
 
-    kgs = jax.vmap(one)(states, discrete_pts, best_so_far)  # (S, B)
+    kgs, x_stars = jax.vmap(one, in_axes=(0, 0, 0,
+                                          None if inner_x0 is None else 0)
+                            )(states, discrete_pts, best_so_far, inner_x0)
     costs = jax.vmap(lambda u: fidelity_cost(u, num_to_sample,
                                              num_fidelity))(unions)
-    return jnp.mean(kgs, axis=0) / costs
+    kg = jnp.mean(kgs, axis=0) / costs
+    if return_x_star:
+        return kg, x_stars
+    return kg
 
 
 def knowledge_gradient_mcmc_batch_value_and_grad(
@@ -753,6 +840,30 @@ def knowledge_gradient_mcmc_batch_value_and_grad(
     vals, vjp = jax.vjp(f, unions)
     grads = vjp(jnp.ones_like(vals))[0]
     return vals, grads
+
+
+def knowledge_gradient_mcmc_batch_vg_carry(
+        states, unions, discrete_pts, normals, domain, inner_params,
+        best_so_far, num_to_sample, num_fidelity: int = 0,
+        derivatives_to_sample: Sequence[int] = (), inner_x0=None,
+        warm_mode: str = "pure"):
+    """Like the value_and_grad variant but threading the warm-start carry.
+
+    Returns ((B,) values, (B, q, dim) grads, (S, B, n_mc, dim_opt)
+    descent endpoints).  With ``inner_x0=None`` this is the cold (seeded)
+    estimator whose endpoints initialize the carry.
+    """
+    def f(u):
+        kg, x_stars = knowledge_gradient_mcmc_batch(
+            states, u, discrete_pts, normals, domain, inner_params,
+            best_so_far, num_to_sample, num_fidelity,
+            derivatives_to_sample, inner_x0=inner_x0, return_x_star=True,
+            warm_mode=warm_mode)
+        return kg, x_stars
+
+    vals, vjp, x_stars = jax.vjp(f, unions, has_aux=True)
+    grads = vjp(jnp.ones_like(vals))[0]
+    return vals, grads, x_stars
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,12 @@ class GaussianProcessState(struct.PyTreeNode):
     # form — numerically equivalent to the solve path) instead; None falls
     # back to Cholesky solves (e.g. after an incremental append).
     inv_chol_K: Optional[jax.Array] = None
+    # Per-point extra noise ((n, 1+m)) baked into chol_K at fit time (the
+    # shape-bucketing mechanism: PAD_NOISE dummy rows).  Carried so that
+    # any refit from the state's raw arrays (e.g. the heuristic-EI fantasy
+    # loop) preserves it instead of promoting dummy rows to full-weight
+    # observations.
+    point_noise: Optional[jax.Array] = None
 
     @property
     def dim(self) -> int:
@@ -130,7 +136,9 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
         covariance=covariance, noise_variance=noise, points_sampled=x,
         points_sampled_value=y, derivatives=derivatives, chol_K=chol,
         K_inv_y=k_inv_y, mean=jnp.asarray(mean, x.dtype),
-        inv_chol_K=inv_chol)
+        inv_chol_K=inv_chol,
+        point_noise=None if point_noise is None else
+        jnp.asarray(point_noise, x.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -290,9 +298,11 @@ def add_sampled_points(state: GaussianProcessState, new_points,
     inv_chol = None if state.inv_chol_K is None else \
         linalg.solve_triangular(
             chol, jnp.eye(chol.shape[0], dtype=chol.dtype), lower=True)
+    pn = None if state.point_noise is None else jnp.concatenate(
+        [state.point_noise, jnp.zeros_like(yp)], axis=0)
     return state.replace(points_sampled=x, points_sampled_value=y,
                          chol_K=chol, K_inv_y=k_inv_y, mean=mean,
-                         inv_chol_K=inv_chol)
+                         inv_chol_K=inv_chol, point_noise=pn)
 
 
 def fantasy_update_vector(state: GaussianProcessState, union_points,

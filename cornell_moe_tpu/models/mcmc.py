@@ -48,13 +48,14 @@ NOISELESS_VALUE = 1.0e-8
 PAD_NOISE = 1.0e8
 
 # Gate for the fused Pallas LML kernel in the MCMC chain:
-# "never" (default) = the vmapped XLA path; "auto" = TPU/f32;
+# "never" = the vmapped XLA path; "auto" (default) = TPU/f32;
 # "always" = force (tests use interpret through the kernel directly).
-# Default off: the kernel matches the numpy reference in interpret mode
-# (tests/test_pallas_descent.py) but the compiled Mosaic lowering still
-# produces NaNs at multi-panel sizes on the tunnel — re-enable once that
-# is resolved; the XLA chain path is the measured 2.77 s retrain.
-LML_PALLAS = "never"
+# The round-2 kernel's compiled-Mosaic NaN was root-caused to the MXU's
+# default bf16 dot precision corrupting trailing Schur updates; the
+# rebuilt kernel (ops/pallas_kernels.pallas_lml_fused) pins HIGHEST on
+# its in-kernel dots and is compiled-validated on v5e
+# (benchmarks/check_lml_fused.py: 0.79 ms vs XLA 1.50 ms at (8, 512)).
+LML_PALLAS = "auto"
 
 
 def bucket_size(n: int, bucket: int) -> int:
@@ -250,8 +251,12 @@ class GaussianProcessLogLikelihoodMCMC:
                 jnp.asarray(point_noise)
         return jnp.asarray(x), jnp.asarray(y), None
 
-    def _log_posterior_with_data(self):
+    def _log_posterior_with_data(self, force_xla: bool = False):
         """vmapped log-posterior taking the (padded) data as arguments.
+
+        ``force_xla`` bypasses the Pallas LML branch (which has no VJP);
+        MAP optimization differentiates/hessians through this function
+        and must always get the autodiff-capable XLA path.
 
         Keeping the data out of the closure means retrains re-dispatch one
         cached compiled program with fresh arrays instead of re-tracing a
@@ -284,7 +289,8 @@ class GaussianProcessLogLikelihoodMCMC:
         vmapped = jax.vmap(log_posterior_single, in_axes=(0, None, None,
                                                           None))
         if self._derivatives or self.kernel_name not in \
-                cov_mod.COVARIANCE_TYPES or LML_PALLAS == "never":
+                cov_mod.COVARIANCE_TYPES or LML_PALLAS == "never" or \
+                force_xla:
             return vmapped
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -298,23 +304,28 @@ class GaussianProcessLogLikelihoodMCMC:
         def log_posterior_batch(thetas, x, y, point_noise):
             """All walkers through the fused Pallas LML kernel.
 
-            One program per WB walkers runs K build + blocked Cholesky +
-            forward substitution + logdet entirely in VMEM
-            (ops/pallas_kernels.pallas_lml_quad_logdet) — the stretch-move
-            chain's per-step cost is otherwise dominated by XLA's
-            latency-bound batched small Cholesky.
+            The stretch-move chain's per-step cost is otherwise dominated
+            by XLA's latency-bound batched small Cholesky; the fused
+            kernel (ops/pallas_kernels.pallas_lml_fused) runs K build +
+            depth-2 blocked Cholesky + forward substitution + logdet for
+            a WB-walker batch entirely in VMEM (0.67 ms vs XLA's 1.52 ms
+            at (8, 512) on v5e, K build included).
             """
             from cornell_moe_tpu.ops import pallas_kernels as pk
 
             n_obs = x.shape[0]
-            if x.dtype != jnp.float32 or n_obs > 1024:
+            # beyond ~1280 the (Np, Np) working matrix exceeds the
+            # kernel's VMEM budget even at wb=1; XLA takes over
+            if x.dtype != jnp.float32 or n_obs > 1280:
                 return vmapped(thetas, x, y, point_noise)
             w = thetas.shape[0]
-            wb = 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)
-            # keep the per-program K scratch + trailing update <= ~8 MB
-            npad = -(-n_obs // 128) * 128
-            while wb > 1 and wb * npad * npad * 8 > 8 * 2**20:
-                wb //= 2
+            np_ = -(-n_obs // 128) * 128
+            # per-program VMEM: the (wb, Np, Np) working matrix <= ~8 MB
+            wb = 1
+            for cand in (8, 4, 2):
+                if w % cand == 0 and cand * np_ * np_ * 4 <= 8 * 2**20:
+                    wb = cand
+                    break
             lp = jax.vmap(prior.lnprob)(thetas)
             in_bounds = jnp.all(jnp.abs(thetas) <= LOG_BOUND, axis=1)
             hyps = jnp.exp(thetas)
@@ -325,8 +336,7 @@ class GaussianProcessLogLikelihoodMCMC:
             else:
                 noise = jnp.full((w,), NOISELESS_VALUE, thetas.dtype)
 
-            n = x.shape[0]
-            np_ = -(-n // 128) * 128
+            n = n_obs
             us = jnp.swapaxes(x, 0, 1)[None] / lengths[:, :, None]
             if np_ != n:
                 pad = 1e6 * (jnp.arange(np_ - n, dtype=jnp.float32) + 1.0)
@@ -339,7 +349,7 @@ class GaussianProcessLogLikelihoodMCMC:
             nv = jnp.pad(nv, ((0, 0), (0, np_ - n)), constant_values=1e8)
             yb = jnp.pad(jnp.broadcast_to(y[None, :, 0], (w, n)),
                          ((0, 0), (0, np_ - n)))
-            quad, logdet = pk.pallas_lml_quad_logdet(
+            quad, logdet = pk.pallas_lml_fused(
                 us, alphas, nv, yb, kernel_name, n_real=n, wb=wb)
             lml = (-0.5 * quad - logdet
                    - 0.5 * n * math.log(2.0 * math.pi))
@@ -412,7 +422,7 @@ class GaussianProcessLogLikelihoodMCMC:
         from cornell_moe_tpu.ops.domains import TensorProductDomain
 
         x, y, point_noise = self._padded_data()
-        lp = self._log_posterior_with_data()
+        lp = self._log_posterior_with_data(force_xla=True)
         dtype = x.dtype
         n_dims = self.prior.n_dims
         dom = TensorProductDomain(bounds=jnp.tile(

@@ -206,6 +206,77 @@ def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
                             all_points=final_points, all_values=values)
 
 
+def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
+                                     domain, initial_points: jax.Array,
+                                     params: GradientDescentParameters,
+                                     chunk_size: Optional[int] = None
+                                     ) -> MultistartResult:
+    """Multistart GD threading an inner-problem carry across outer steps.
+
+    ``bvg_cold(x) -> (values, grads, carry)`` is the full (seeded)
+    objective, called once at the start of each chunk to initialize the
+    carry and once at the end for the final values;
+    ``bvg_warm(x, carry) -> (values, grads, carry)`` is the warm-started
+    objective used for every subsequent GD step.  Outer GD semantics are
+    identical to :func:`multistart_optimize_batched` (decaying LR reset
+    per restart round, domain-limited steps, trailing Polyak averaging).
+    """
+    avg_n = max(int(params.num_steps_averaged), 0)
+    use_avg = 0 < avg_n <= params.max_num_steps
+    num_steps = int(params.max_num_steps)
+    num_rounds = max(int(params.max_num_restarts), 1)
+
+    def update(x, g, i):
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+        dx = domain.limit_update(params.max_relative_change, x, alpha * g)
+        return x + dx
+
+    def run_round(x, carry, first_round):
+        # the very first GD step of the first round consumes the cold
+        # gradients computed while initializing the carry
+        start_i = 1 if first_round else 0
+
+        def step(sc, i):
+            x, carry = sc
+            _, g, carry = bvg_warm(x, carry)
+            x_new = update(x, g, i)
+            return (x_new, carry), x_new
+
+        (x, carry), traj = lax.scan(
+            step, (x, carry),
+            jnp.arange(start_i, num_steps, dtype=x.dtype))
+        if use_avg and traj.shape[0] >= avg_n:
+            x = domain.clip(jnp.mean(traj[-avg_n:], axis=0))
+        return x, carry
+
+    def run_batch(starts):
+        _, g0, carry = bvg_cold(starts)
+        x = update(starts, g0, 0)
+        x, carry = run_round(x, carry, True)
+        for _ in range(num_rounds - 1):
+            x, carry = run_round(x, carry, False)
+        return x
+
+    n = initial_points.shape[0]
+    if chunk_size and n % chunk_size == 0 and n > chunk_size:
+        chunked = initial_points.reshape(
+            (n // chunk_size, chunk_size) + initial_points.shape[1:])
+        final_points = jax.lax.map(run_batch, chunked).reshape(
+            initial_points.shape)
+        values = jax.lax.map(
+            lambda c: bvg_cold(c)[0],
+            final_points.reshape(chunked.shape)).reshape(-1)
+    else:
+        final_points = run_batch(initial_points)
+        values = bvg_cold(final_points)[0]
+    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe_values)
+    return MultistartResult(best_point=final_points[best],
+                            best_value=values[best],
+                            all_points=final_points, all_values=values)
+
+
 def multistart_optimize(value_and_grad_fn: Callable, domain,
                         initial_points: jax.Array,
                         params: GradientDescentParameters,

@@ -1,26 +1,23 @@
 """Pallas TPU kernels for the GP hot ops.
 
-Fused covariance-matrix construction: XLA's broadcast pipeline for
-``k(x_i, x_j)`` materializes the (n1, n2, d) difference tensor in HBM;
-this kernel tiles both point sets through VMEM, computes the scaled
-squared distances with the Gram trick (the cross term is a (T, d) x
-(d, T) MXU matmul), and fuses the Matérn/SE transcendentals into the
-same tile — one HBM write of the (n1, n2) output and nothing else.
+Three kernel families, each targeting a measured hot spot:
 
-Used by the fit path for large n (training covariance, batched over the
-hyperparameter ensemble via vmap); falls back to the jnp builder for
-small n, derivative channels, or non-TPU backends (f64 is not a TPU
-dtype).  Accuracy note: the Gram trick carries ~eps*|u|^2 absolute error
-in s, clamped at 0 — negligible against the observation-noise floors used
-in f32, and the parity test suite runs the jnp builder in f64.
+* ``pallas_covariance_with_noise_full`` — fused K build + noise diagonal
+  as one program per matrix, used by the fit/LML paths at n <= 768 where
+  per-op pipeline overhead dominates XLA's broadcast chain.  (A tiled
+  Gram-trick variant for larger n measured 0.95x vs XLA at 2048^2 —
+  the op is VPU-transcendental-bound either way — and was removed;
+  larger builds use the XLA builder.)
+* ``pallas_lml_fused`` — the MCMC chain's batched LML: K build +
+  depth-2 blocked Cholesky + forward substitution + logdet in one
+  program per walker batch (0.79 ms vs XLA's 1.50 ms at (8, 512), K
+  build included).  A panel-hybrid splitting Pallas panels from XLA
+  trailing updates measured 1.15 ms and was removed once this landed.
+* ``pallas_descent_run`` / ``pallas_descent_grad`` — the KG inner
+  posterior-mean descent, the throughput core of the suggest bench.
 
-Measured on v5e at (2048, 2048, d=6): 0.61 ms/build vs 0.58 ms for the
-XLA builder — the op is VPU-transcendental-bound, so both sit at the same
-hardware limit (XLA fuses the broadcast pipeline without materializing
-the (n, n, d) tensor after all).  The kernel is kept as the foundation
-for fused multi-stage pipelines (K build + noise + blocked Cholesky) where
-staging through HBM does cost; the gate keeps it off the differentiated
-paths (no VJP).
+Gates keep every kernel off non-TPU backends, f64, and derivative
+channels; the XLA paths remain the equivalence oracles.
 """
 
 from __future__ import annotations
@@ -39,68 +36,6 @@ _TILE = 128
 
 def _cdiv(a, b):
     return -(-a // b)
-
-
-def _cov_tile_kernel(u1_ref, u2_ref, alpha_ref, out_ref, *, kernel_name):
-    """One (T, T) output tile: Gram-trick distances + fused kernel."""
-    u1 = u1_ref[:]                                  # (T, d)
-    u2 = u2_ref[:]                                  # (T, d)
-    cross = jax.lax.dot_general(
-        u1, u2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)        # (T, T)
-    n1 = jnp.sum(u1 * u1, axis=1, keepdims=True)    # (T, 1)
-    n2 = jnp.sum(u2 * u2, axis=1, keepdims=True)    # (T, 1)
-    s = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
-    alpha = alpha_ref[0, 0]
-    if kernel_name == "square_exponential":
-        out_ref[:] = alpha * jnp.exp(-0.5 * s)
-    else:                                            # matern 2.5
-        r = jnp.sqrt(s)
-        out_ref[:] = alpha * (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
-            jnp.exp(-_SQRT5 * r)
-
-
-@functools.partial(jax.jit, static_argnames=("kernel_name", "interpret"))
-def pallas_covariance_matrix(x1: jax.Array, x2: jax.Array,
-                             hyperparameters: jax.Array,
-                             kernel_name: str = "matern_2.5",
-                             interpret: bool = False) -> jax.Array:
-    """Value-channel covariance matrix k(x1, x2) via the fused kernel.
-
-    x1: (n1, d), x2: (n2, d), hyperparameters: [alpha, lengths...].
-    Returns (n1, n2) in float32.
-    """
-    alpha = hyperparameters[0].reshape(1, 1).astype(jnp.float32)
-    lengths = hyperparameters[1:]
-    u1 = (x1 / lengths).astype(jnp.float32)
-    u2 = (x2 / lengths).astype(jnp.float32)
-    n1, d = u1.shape
-    n2 = u2.shape[0]
-    n1p, n2p = _cdiv(n1, _TILE) * _TILE, _cdiv(n2, _TILE) * _TILE
-    # pad points far away so padded entries are ~0 (and sliced off anyway)
-    if n1p != n1:
-        u1 = jnp.pad(u1, ((0, n1p - n1), (0, 0)), constant_values=1e6)
-    if n2p != n2:
-        u2 = jnp.pad(u2, ((0, n2p - n2), (0, 0)), constant_values=-1e6)
-
-    out = pl.pallas_call(
-        functools.partial(_cov_tile_kernel, kernel_name=kernel_name),
-        out_shape=jax.ShapeDtypeStruct((n1p, n2p), jnp.float32),
-        grid=(n1p // _TILE, n2p // _TILE),
-        in_specs=[
-            pl.BlockSpec((_TILE, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(u1, u2, alpha)
-    return out[:n1, :n2]
 
 
 def _cov_full_kernel(us_ref, alpha_ref, noise_ref, out_ref, *,
@@ -170,102 +105,114 @@ def pallas_covariance_with_noise_full(points: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Fused LML kernel: K build + blocked Cholesky + solve + logdet
+# Fully-fused LML kernel: K build + blocked Cholesky + solve + logdet
 # ---------------------------------------------------------------------------
 #
-# The MCMC hot loop evaluates the log marginal likelihood of ~16 walker
-# proposals per stretch-move step; XLA runs the batched Cholesky as a long
-# sequence of tiny panel ops (latency-bound, ~1.5 ms) plus separate build
-# and solve passes.  This kernel processes WB walkers per program with the
-# walker axis vectorized through every column step: build K in VMEM,
-# blocked left-looking-in-panel/right-looking-across-panel Cholesky in the
-# (column, row) layout, forward substitution fused into the column loop,
-# and the log-determinant accumulated from the pivots.  Nothing but the
-# (WB,) scalars returns to HBM.
+# One program per WB-walker batch; everything lives in VMEM: build K +
+# noise diagonal, factor it with a depth-2 blocked right-looking
+# Cholesky (32-column blocks: the latency-critical scalar chain runs on
+# (WB, 32, 32) tensors, the rank-32 trailing/off-diagonal updates are
+# per-walker MXU dots over STATIC block slices), forward-substitute y in
+# lockstep, and emit only (quad, logdet).  This replaces the round-2
+# fused kernel that NaN'd in the compiled Mosaic lowering — every store
+# here is a static slice and every column update is a one-hot/mask
+# algebra op (no dynamic indexing anywhere), the idioms the working
+# descent/panel kernels already established.
 
-def _lml_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref, logdet_ref,
-                kb, dscr, *, kernel_name, d, n_real, np_, pb, wb):
-    # --- build K + diag(noise), (col, row) layout (K is symmetric);
-    # per-walker to keep the (Np, Np) temporaries at one matrix ---------
+_LML_SB = 32      # inner block width
+
+
+def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
+                      logdet_ref, a_scr, y_scr, *, kernel_name, d,
+                      n_real, np_, wb):
+    sb = _LML_SB
     ii = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
-    jj_ = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    eye = (ii == jj_).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    eye_mask = (ii == jj).astype(jnp.float32)
+    # --- build K + diag(noise) per walker ------------------------------
     for w in range(wb):
         s = None
         for dd in range(d):
-            u = us_ref[w, dd, :]                     # (Np,)
+            u = us_ref[0, w, dd, :]                  # (Np,)
             diff = u[:, None] - u[None, :]
             s = diff * diff if s is None else s + diff * diff
         if kernel_name == "square_exponential":
             k = jnp.exp(-0.5 * s)
-        else:
+        else:                                        # matern 2.5
             r = jnp.sqrt(s)
             k = (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
                 jnp.exp(-_SQRT5 * r)
-        kb[w] = alpha_ref[0, 0, w] * k + eye * noise_ref[0, w][:, None]
+        a_scr[w] = alpha_ref[0, 0, w] * k + \
+            eye_mask * noise_ref[0, w][:, None]
+    y_scr[:] = y_ref[0]
 
-    iota_n = jax.lax.broadcasted_iota(
-        jnp.int32, (np_, 1), 0)[:, 0]                # (Np,)
-    iota_p = jax.lax.broadcasted_iota(
-        jnp.int32, (pb, 1), 0)[:, 0]                 # (PB,)
-
-    yres = y_ref[0]                                  # (WB, Np) residual
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0)[:, 0]
+    eye32 = (iota32[:, None] == iota32[None, :]).astype(jnp.float32)
     quad = jnp.zeros((wb,), jnp.float32)
     logdet = jnp.zeros((wb,), jnp.float32)
 
-    num_panels = np_ // pb
-    for p in range(num_panels):                      # static
-        j0 = p * pb
-        # scratch starts as garbage; unwritten rows must contract to 0
-        dscr[:] = jnp.zeros((wb, pb, pb), jnp.float32)
+    for b in range(np_ // sb):                       # static block loop
+        c0 = b * sb
+        d0 = a_scr[:, c0:c0 + sb, c0:c0 + sb]        # (wb, 32, 32)
 
-        def col_step(j, carry):
-            yres, quad, logdet = carry
-            jj = j0 + j
-            onehot_p = (iota_p == j).astype(jnp.float32)     # (PB,)
-            onehot_f = (iota_n == jj).astype(jnp.float32)    # (Np,)
-            # L[jj, j0+k] for k<j from the panel-diagonal scratch
-            # (masked reduce — Mosaic has no batched in-kernel dots)
-            vrow = jnp.sum(dscr[:] * onehot_p[None, None, :],
-                           axis=2)                           # (WB, PB)
-            vrow = vrow * (iota_p < j).astype(jnp.float32)
-            rows = []
-            for w in range(wb):                              # per-walker dot
-                prod = jax.lax.dot_general(
-                    vrow[w][None, :], kb[w, j0:j0 + pb, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (1, Np)
-                rows.append(kb[w, jj, :] - prod[0])
-            c = jnp.stack(rows)                              # (WB, Np)
-            dsq = jnp.sum(c * onehot_f[None, :], axis=1)     # (WB,)
+        def col(j, carry):
+            dmat, rres, inv, dp = carry
+            onehot = (iota32 == j).astype(jnp.float32)
+            below = (iota32 > j).astype(jnp.float32)
+            cj = jnp.sum(dmat * onehot[None, None, :], axis=2)
+            dsq = jnp.sum(cj * onehot[None, :], axis=1)
             dpiv = jnp.sqrt(dsq)
-            below = (iota_n > jj).astype(jnp.float32)
-            lcol = c * below[None, :] / dpiv[:, None] + \
-                onehot_f[None, :] * dpiv[:, None]
-            kb[:, jj, :] = lcol
-            dscr[:, j, :] = lcol[:, j0:j0 + pb]
-            # forward substitution step
-            yj = jnp.sum(yres * onehot_f[None, :], axis=1)   # (WB,)
-            z = yj / dpiv
-            yres = yres - z[:, None] * lcol * below[None, :]
-            real = (jj < n_real).astype(jnp.float32)
-            quad = quad + real * z * z
-            logdet = logdet + real * jnp.log(dpiv)
-            return (yres, quad, logdet)
+            lcol = cj * below[None, :] / dpiv[:, None]
+            dp = dp + onehot[None, :] * dpiv[:, None]
+            rj = jnp.sum(rres * onehot[None, :, None], axis=1)
+            sj = rj / dpiv[:, None]
+            inv = inv + onehot[None, :, None] * sj[:, None, :]
+            rres = rres - lcol[:, :, None] * sj[:, None, :]
+            dmat = dmat - lcol[:, :, None] * lcol[:, None, :]
+            return (dmat, rres, inv, dp)
 
-        yres, quad, logdet = jax.lax.fori_loop(
-            0, pb, col_step, (yres, quad, logdet))
+        _, _, inv, dp = jax.lax.fori_loop(
+            0, sb, col,
+            (d0, jnp.broadcast_to(eye32[None], (wb, sb, sb)),
+             jnp.zeros((wb, sb, sb), jnp.float32),
+             jnp.zeros((wb, sb), jnp.float32)))
 
-        if p + 1 < num_panels:
-            # trailing residual update: columns >= j0+pb
-            mask_c = (iota_n >= j0 + pb).astype(jnp.float32)
+        yblk = y_scr[:, c0:c0 + sb]                  # (wb, 32)
+        z = jnp.sum(inv * yblk[:, None, :], axis=2)  # z = L11^-1 y_blk
+        mask = ((c0 + iota32) < n_real).astype(jnp.float32)
+        quad = quad + jnp.sum(z * z * mask[None], axis=1)
+        logdet = logdet + jnp.sum(jnp.log(dp) * mask[None], axis=1)
+
+        if c0 + sb < np_:
             for w in range(wb):
-                lp = kb[w, j0:j0 + pb, :]                    # (PB, Np)
-                lpt = jnp.transpose(lp)                      # (Np, PB)
+                a21 = a_scr[w, c0 + sb:, c0:c0 + sb]         # (rem, 32)
+                # L21 = A21 L11^-T: contract a21 cols with inv cols
+                # Explicit precision: the MXU's default bf16 multiplies
+                # carry ~1e-2 relative error, enough to drive trailing
+                # Schur diagonals negative -> sqrt NaN (the round-2
+                # fused kernel's multi-panel failure mode; its
+                # single-panel case worked because it had no trailing
+                # dots).  HIGHEST = bf16x6; Mosaic rejects HIGH, and the
+                # MXU passes are not the bottleneck here anyway
+                # (0.788 ms total vs XLA's 1.502 ms at (8, 512)).
+                l21 = jax.lax.dot_general(
+                    a21, inv[w],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (rem, 32)
                 upd = jax.lax.dot_general(
-                    lpt, lp, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (Np, Np)
-                kb[w] = kb[w] - upd * mask_c[:, None]
+                    l21, l21,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (rem, rem)
+                a_scr[w, c0 + sb:, c0 + sb:] = \
+                    a_scr[w, c0 + sb:, c0 + sb:] - upd
+                ydot = jax.lax.dot_general(
+                    l21, z[w][:, None],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (rem, 1)
+                y_scr[w, c0 + sb:] = y_scr[w, c0 + sb:] - ydot[:, 0]
 
     quad_ref[0, 0, :] = quad
     logdet_ref[0, 0, :] = logdet
@@ -273,31 +220,28 @@ def _lml_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref, logdet_ref,
 
 @functools.partial(jax.jit, static_argnames=("kernel_name", "n_real",
                                              "wb", "interpret"))
-def pallas_lml_quad_logdet(us: jax.Array, alpha: jax.Array,
-                           noise_vec: jax.Array, y: jax.Array,
-                           kernel_name: str = "matern_2.5",
-                           n_real: int = None, wb: int = 4,
-                           interpret: bool = False):
-    """(y^T K^-1 y, sum log diag(chol K)) for a batch of walkers.
+def pallas_lml_fused(us: jax.Array, alpha: jax.Array,
+                     noise_vec: jax.Array, y: jax.Array,
+                     kernel_name: str = "matern_2.5",
+                     n_real: int = None, wb: int = 8,
+                     interpret: bool = False):
+    """(y^T K^-1 y, sum log diag chol K) fully fused in one program/WB.
 
-    us: (W, d, Np) scaled points per walker, padded columns at distinct
-    huge offsets; alpha: (W,) amplitudes; noise_vec: (W, Np) total
-    per-point diagonal noise (huge on padding); y: (W, Np) centered
-    values (zero on padding).  Np must be a multiple of 128 and W of wb.
+    us: (W, d, Np) scaled points (padded columns at distinct huge
+    offsets); alpha: (W,); noise_vec: (W, Np) total per-point diagonal
+    noise (huge on padding); y: (W, Np) centered values (zero on
+    padding).  Np a multiple of 128; W a multiple of wb.
     """
     w, d, np_ = us.shape
-    pb = 128
     grid = w // wb
-    # blocked axes lead; the last two dims of every operand block equal the
-    # array's (Mosaic's block-shape constraint)
     quad, logdet = pl.pallas_call(
-        functools.partial(_lml_kernel, kernel_name=kernel_name, d=d,
-                          n_real=n_real, np_=np_, pb=pb, wb=wb),
+        functools.partial(_lml_fused_kernel, kernel_name=kernel_name,
+                          d=d, n_real=n_real, np_=np_, wb=wb),
         out_shape=(jax.ShapeDtypeStruct((grid, 1, wb), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 1, wb), jnp.float32)),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((wb, d, np_), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, wb, d, np_), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -312,10 +256,12 @@ def pallas_lml_quad_logdet(us: jax.Array, alpha: jax.Array,
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((wb, np_, np_), jnp.float32),
-            pltpu.VMEM((wb, pb, pb), jnp.float32),
+            pltpu.VMEM((wb, np_), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
-    )(us.astype(jnp.float32),
+    )(us.astype(jnp.float32).reshape(grid, wb, d, np_),
       alpha.reshape(grid, 1, wb).astype(jnp.float32),
       noise_vec.reshape(grid, wb, np_).astype(jnp.float32),
       y.reshape(grid, wb, np_).astype(jnp.float32))

@@ -134,32 +134,118 @@ class CIFAR10:
 
 
 class KISSGP:
-    """GPML KISS-GP marginal-likelihood objective (real_functions.py:161).
+    """KISS-GP marginal-likelihood tuning objective (real_functions.py:161).
 
-    Requires Octave + oct2py + the GPML toolbox; raises otherwise.
+    The reference shells out to a user-supplied GPML/Octave script
+    (``octave.KISSGP(numpy.exp(x))``, not in its tree); this native
+    implementation reproduces the workload end-to-end: the BayesOpt
+    variables x in [-1, 3]^3 are log hyperparameters (lengthscale,
+    signal std, noise std) of a KISS-GP — structured kernel interpolation
+    (Wilson & Nickisch, ICML 2015): K ~= W K_uu W^T with cubic
+    interpolation weights W onto a regular 1-D inducing grid — and the
+    objective is the negative log marginal likelihood of a fixed seeded
+    1-D regression dataset under that approximate kernel.  The SKI
+    structure is evaluated exactly (dense algebra at n=1000 is trivial on
+    TPU; the Toeplitz/FFT shortcuts only change speed, not values).
+
+    Derivative observations: gradients of the NLZ wrt x come from
+    ``jax.grad`` and are reported as observation channels when
+    ``with_gradients`` (the reference class declares derivative
+    observations for all 3 dims), making this the d-KG real-world
+    workload.  Set ``use_octave=True`` to call the original GPML path
+    instead (requires Octave + oct2py + GPML).
     """
 
-    def __init__(self):
+    def __init__(self, n_data: int = 1000, grid_size: int = 100,
+                 seed: int = 0, with_gradients: bool = True,
+                 use_octave: bool = False):
         self._dim = 3
         self._search_domain = np.repeat([[-1.0, 3.0]], 3, axis=0)
         self._num_init_pts = 1
         self._sample_var = 0.0
         self._min_value = 0.0
-        self._observations = []
+        self._observations = list(range(3)) if with_gradients else []
         self._num_fidelity = 0
+        self._use_octave = use_octave
+        self._grid_size = grid_size
+
+        # fixed dataset: a seeded draw from GP(SE, ell=0.5, sf=1) + noise
+        rng = np.random.default_rng(seed)
+        xd = np.sort(rng.uniform(-4.0, 4.0, n_data))
+        d2 = (xd[:, None] - xd[None, :]) ** 2
+        k0 = np.exp(-0.5 * d2 / 0.5**2) + 1e-10 * np.eye(n_data)
+        yd = np.linalg.cholesky(k0) @ rng.standard_normal(n_data)
+        yd += 0.1 * rng.standard_normal(n_data)
+        self._x, self._y = xd, yd
+        # regular inducing grid covering the data with one-cell margins
+        lo, hi = xd.min(), xd.max()
+        pad = (hi - lo) / (grid_size - 3)
+        self._grid = np.linspace(lo - pad, hi + pad, grid_size)
+        self._w = self._cubic_interp_weights(xd, self._grid)
+        self._nlz_and_grad = None
+
+    @staticmethod
+    def _cubic_interp_weights(x: np.ndarray, grid: np.ndarray
+                              ) -> np.ndarray:
+        """Dense (n, m) cubic-convolution interpolation weight matrix.
+
+        Keys' cubic kernel (a=-0.5), the interpolation KISS-GP uses; each
+        row has 4 non-zeros over the bracketing grid cells.
+        """
+        m = grid.shape[0]
+        h = grid[1] - grid[0]
+        t = (x - grid[0]) / h
+        j = np.clip(np.floor(t).astype(int), 1, m - 3)
+        u = t - j                                  # in [0, 1)
+        a = -0.5
+
+        def k_cubic(s):
+            s = np.abs(s)
+            return np.where(
+                s <= 1, (a + 2) * s**3 - (a + 3) * s**2 + 1,
+                np.where(s < 2, a * s**3 - 5 * a * s**2 + 8 * a * s
+                         - 4 * a, 0.0))
+
+        w = np.zeros((x.shape[0], m))
+        rows = np.arange(x.shape[0])
+        for off in (-1, 0, 1, 2):
+            w[rows, j + off] = k_cubic(u - off)
+        return w
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        w = jnp.asarray(self._w)
+        grid = jnp.asarray(self._grid)
+        y = jnp.asarray(self._y)
+        n = y.shape[0]
+        d2g = (grid[:, None] - grid[None, :]) ** 2
+
+        def nlz(x):
+            ell, sf, sn = jnp.exp(x[0]), jnp.exp(x[1]), jnp.exp(x[2])
+            k_uu = sf**2 * jnp.exp(-0.5 * d2g / ell**2)
+            k = w @ k_uu @ w.T + (sn**2 + 1e-8) * jnp.eye(n, dtype=w.dtype)
+            chol = jnp.linalg.cholesky(k)
+            z = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+            return (0.5 * jnp.sum(z * z)
+                    + jnp.sum(jnp.log(jnp.diagonal(chol)))
+                    + 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+        self._nlz_and_grad = jax.jit(jax.value_and_grad(nlz))
 
     def evaluate_true(self, x):
-        try:
-            from oct2py import octave  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "KISSGP requires Octave + oct2py + the GPML Matlab "
-                "toolbox (as in the reference's real_functions.py:161); "
-                "not available in this environment") from e
-        ell, sf, noise = (10.0 ** v for v in np.asarray(x, dtype=float))
-        octave.addpath(os.environ.get("GPML_PATH", "gpml"))
-        nlz = octave.kissgp_objective(ell, sf, noise)
-        return np.concatenate([[float(nlz)], np.zeros(self._dim)])
+        x = np.asarray(x, dtype=float)
+        if self._use_octave:
+            from oct2py import octave
+            octave.addpath(os.environ.get("GPML_PATH", "gpml"))
+            return np.asarray(octave.KISSGP(np.exp(x))).flatten()
+        if self._nlz_and_grad is None:
+            self._build()
+        val, grad = self._nlz_and_grad(x)
+        if self._observations:
+            return np.concatenate([[float(val)], np.asarray(grad)])
+        return np.array([float(val)])
 
     def evaluate(self, x):
         return self.evaluate_true(x)

@@ -105,10 +105,24 @@ def test_cifar10_synthetic_objective():
     assert err_bad >= err - 0.25
 
 
-def test_kissgp_raises_without_octave():
-    f = KISSGP()
-    with pytest.raises(RuntimeError, match="Octave"):
-        f.evaluate(np.array([0.0, 0.0, 0.0]))
+def test_kissgp_native_objective():
+    """Native SKI marginal likelihood: finite, FD-consistent gradient
+    channels, minimized near the generating hyperparameters."""
+    f = KISSGP(n_data=300, grid_size=60)
+    at_truth = f.evaluate(np.log(np.array([0.5, 1.0, 0.1])))
+    elsewhere = f.evaluate(np.array([2.0, 1.0, -1.0]))
+    assert at_truth.shape == (4,)          # value + 3 gradient channels
+    assert np.all(np.isfinite(at_truth))
+    assert at_truth[0] < elsewhere[0]
+    x0 = np.array([0.3, 0.2, -0.5])
+    eps = 1e-5
+    g = f.evaluate(x0)[1]
+    up = f.evaluate(x0 + [eps, 0, 0])[0]
+    dn = f.evaluate(x0 - [eps, 0, 0])[0]
+    np.testing.assert_allclose(g, (up - dn) / (2 * eps), rtol=1e-4)
+    # octave path still gated
+    with pytest.raises((RuntimeError, ImportError)):
+        KISSGP(use_octave=True).evaluate(np.zeros(3))
 
 
 @pytest.mark.slow

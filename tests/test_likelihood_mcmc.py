@@ -274,3 +274,137 @@ def test_bucketed_training_shapes_stable(rng):
                                 np.zeros(3))
     ll.train()
     assert ll.models.points_sampled.shape == shape_before   # 16 still
+
+
+# ---------------------------------------------------------------------------
+# Sampler-statistics parity (SURVEY section 7 hard part f)
+# ---------------------------------------------------------------------------
+#
+# The reference trains via emcee's affine-invariant ensemble sampler
+# (log_likelihood_mcmc.py:189-214); emcee is not importable in this image,
+# so the on-device stretch-move chain is checked against (a) an exact
+# quadrature ground truth on a 1-d GP-LML posterior, and (b) an
+# independent numpy implementation of the same Goodman & Weare algorithm
+# on the real 3-d GP log-likelihood target.
+
+
+def test_sampler_statistics_match_quadrature(rng):
+    """Posterior moments on a real 1-d GP-LML target vs exact quadrature.
+
+    With K(theta) = e^theta * C for fixed C, the LML is analytic in
+    theta:  -0.5 e^-theta s - 0.5 n theta - 0.5 logdet C + const, so the
+    posterior under a N(0,1) prior is known to quadrature precision.
+    The chain must reproduce its mean/std within MC error.
+    """
+    n = 30
+    x = rng.uniform(-2, 2, (n, 1))
+    d2 = (x[:, None, 0] - x[None, :, 0]) ** 2
+    c = np.exp(-0.5 * d2 / 0.7**2) + 0.1 * np.eye(n)
+    y = np.linalg.cholesky(c) @ rng.standard_normal(n) * 1.3
+    s = float(y @ np.linalg.solve(c, y))
+
+    # exact posterior moments by quadrature
+    tg = np.linspace(-6.0, 6.0, 20001)
+    logp = -0.5 * s * np.exp(-tg) - 0.5 * n * tg - 0.5 * tg**2
+    p = np.exp(logp - logp.max())
+    p /= np.trapezoid(p, tg)
+    mean_q = np.trapezoid(tg * p, tg)
+    std_q = np.sqrt(np.trapezoid((tg - mean_q) ** 2 * p, tg))
+
+    # the same posterior through the framework's real GP-LML code path
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)[:, None]
+
+    def log_prob(thetas):
+        def one(t):
+            th = t[0]
+            cov = cov_mod.SquareExponential(
+                hyperparameters=jnp.concatenate(
+                    [jnp.exp(th)[None], jnp.asarray([0.7])]))
+            lml = lik.log_marginal_likelihood(
+                cov, 0.1 * jnp.exp(th)[None], xj, yj, ())
+            return lml - 0.5 * th**2
+        return jax.vmap(one)(thetas)
+
+    walkers = 10
+    p0 = jnp.asarray(rng.standard_normal((walkers, 1)))
+    key = jax.random.PRNGKey(3)
+    kb, kc = jax.random.split(key)
+    pos, _ = mcmc.run_ensemble_mcmc(kb, log_prob, p0, 400)
+    _, _, chain = mcmc.run_ensemble_mcmc(kc, log_prob, pos, 4000,
+                                         keep_chain=True)
+    samples = np.asarray(chain).reshape(-1)
+    mean_c, std_c = samples.mean(), samples.std()
+
+    # ~4e4 correlated draws; allow a few tau-inflated standard errors
+    assert abs(mean_c - mean_q) < 0.12 * std_q, (mean_c, mean_q, std_q)
+    assert abs(std_c - std_q) < 0.15 * std_q, (std_c, std_q)
+
+
+def _numpy_stretch_move(rng, log_prob, p0, num_steps, a=2.0):
+    """Independent numpy implementation of the Goodman & Weare stretch
+    move (the emcee algorithm, Foreman-Mackey et al. 2013, eqs. 7-9) with
+    the same two-half update schedule as the on-device sampler."""
+    pos = p0.copy()
+    w, d = pos.shape
+    half = w // 2
+    lp = log_prob(pos)
+    chain = np.empty((num_steps, w, d))
+    for step in range(num_steps):
+        for (mov, oth) in ((np.arange(half), np.arange(half, w)),
+                           (np.arange(half, w), np.arange(half))):
+            z = ((a - 1.0) * rng.random(half) + 1.0) ** 2 / a
+            partners = pos[oth[rng.integers(0, half, half)]]
+            prop = partners + z[:, None] * (pos[mov] - partners)
+            prop_lp = log_prob(prop)
+            log_acc = (d - 1.0) * np.log(z) + prop_lp - lp[mov]
+            acc = np.log(rng.random(half)) < log_acc
+            pos[mov[acc]] = prop[acc]
+            lp[mov[acc]] = prop_lp[acc]
+        chain[step] = pos
+    return chain
+
+
+@pytest.mark.slow
+def test_sampler_statistics_match_numpy_reference(rng):
+    """On-device chain vs the independent numpy stretch move on the real
+    3-d GP log-posterior (log amplitude, log length, log noise)."""
+    x, y = _data(rng, n=25, dim=1)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)[:, None]
+    prior = priors.NormalPrior(mean=np.zeros(3), sigma=1.5 * np.ones(3))
+
+    def log_prob_jax(thetas):
+        def one(t):
+            cov = cov_mod.SquareExponential(
+                hyperparameters=jnp.exp(t[:2]))
+            lml = lik.log_marginal_likelihood(
+                cov, jnp.exp(t[2:3]), xj, yj, ())
+            val = lml + prior.lnprob(t)
+            return jnp.where(jnp.isfinite(val), val, -jnp.inf)
+        return jax.vmap(one)(thetas)
+
+    def log_prob_np(thetas):
+        return np.asarray(log_prob_jax(jnp.asarray(thetas)))
+
+    walkers, burn, steps = 12, 600, 4000
+    p0 = 0.5 * rng.standard_normal((walkers, 3))
+
+    key = jax.random.PRNGKey(11)
+    kb, kc = jax.random.split(key)
+    pos, _ = mcmc.run_ensemble_mcmc(kb, log_prob_jax, jnp.asarray(p0),
+                                    burn)
+    _, _, chain_dev = mcmc.run_ensemble_mcmc(kc, log_prob_jax, pos, steps,
+                                             keep_chain=True)
+    dev = np.asarray(chain_dev).reshape(-1, 3)
+
+    ref_rng = np.random.default_rng(7)
+    pos_np = _numpy_stretch_move(ref_rng, log_prob_np, p0.copy(), burn)
+    ref = _numpy_stretch_move(ref_rng, log_prob_np, pos_np[-1], steps)
+    ref = ref.reshape(-1, 3)
+
+    # same algorithm, independent implementations and RNGs: posterior
+    # moments must agree within a few autocorrelation-inflated SEs
+    for k in range(3):
+        sd = ref[:, k].std()
+        assert abs(dev[:, k].mean() - ref[:, k].mean()) < 0.2 * sd, k
+        assert abs(dev[:, k].std() - sd) < 0.25 * sd, k

@@ -127,7 +127,7 @@ def test_small_cholesky_and_solves(rng):
         rtol=1e-10, atol=1e-12)
 
 
-def test_pallas_lml_kernel_matches_reference(rng):
+def test_pallas_lml_fused_matches_reference(rng):
     """Fused build+Cholesky+solve+logdet kernel vs the numpy reference,
     including padded columns."""
     from cornell_moe_tpu.ops import pallas_kernels as pk
@@ -150,7 +150,7 @@ def test_pallas_lml_kernel_matches_reference(rng):
         noise_vec[w, n:] = 1e8
         y_pad[w, :n] = y
 
-    quad, logdet = pk.pallas_lml_quad_logdet(
+    quad, logdet = pk.pallas_lml_fused(
         jnp.asarray(us), jnp.asarray(alphas), jnp.asarray(noise_vec),
         jnp.asarray(y_pad), "matern_2.5", n_real=n, wb=4, interpret=True)
 
@@ -180,8 +180,8 @@ def test_mcmc_pallas_log_posterior_matches_vmapped(rng, monkeypatch):
 
     monkeypatch.setattr(mcmc, "LML_PALLAS", "always")
     monkeypatch.setattr(
-        pk, "pallas_lml_quad_logdet",
-        functools.partial(pk.pallas_lml_quad_logdet, interpret=True))
+        pk, "pallas_lml_fused",
+        functools.partial(pk.pallas_lml_fused, interpret=True))
 
     n = 21
     x = rng.random((n, 2)).astype(np.float32)

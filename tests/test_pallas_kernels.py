@@ -9,26 +9,6 @@ from cornell_moe_tpu.ops import pallas_kernels as pk
 
 
 @pytest.mark.parametrize("kernel", ["square_exponential", "matern_2.5"])
-@pytest.mark.parametrize("shape", [(130, 70, 2), (256, 256, 5)])
-def test_pallas_covariance_matches_builder(kernel, shape, rng):
-    n1, n2, d = shape
-    hypers = np.concatenate([[1.5], 0.4 + rng.random(d)]).astype(
-        np.float32)
-    x1 = rng.standard_normal((n1, d)).astype(np.float32)
-    x2 = rng.standard_normal((n2, d)).astype(np.float32)
-
-    got = np.asarray(pk.pallas_covariance_matrix(
-        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(hypers), kernel,
-        interpret=True))
-    cov = cov_mod.make_covariance(kernel, hypers)
-    expected = np.asarray(cov_mod.build_block_covariance(
-        cov, jnp.asarray(x1, jnp.float64), (),
-        jnp.asarray(x2, jnp.float64), ()))
-    assert got.shape == (n1, n2)
-    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
-
-
-@pytest.mark.parametrize("kernel", ["square_exponential", "matern_2.5"])
 def test_pallas_covariance_full_matches_builder(kernel, rng):
     n, d = 200, 3
     hypers = np.concatenate([[1.2], 0.5 + rng.random(d)]).astype(
@@ -72,9 +52,6 @@ def test_builder_with_noise_pallas_per_point_noise(rng, monkeypatch):
     """
     import functools
 
-    monkeypatch.setattr(
-        pk, "pallas_covariance_matrix",
-        functools.partial(pk.pallas_covariance_matrix, interpret=True))
     monkeypatch.setattr(
         pk, "pallas_covariance_with_noise_full",
         functools.partial(pk.pallas_covariance_with_noise_full,
