@@ -216,6 +216,11 @@ class KISSGP:
         import jax
         import jax.numpy as jnp
 
+        # objective evaluation is host-side work (synthetic_functions.py
+        # convention): pin to CPU — also avoids the TPU MXU's default
+        # bf16 f32-matmul precision, which corrupts W K_uu W^T enough to
+        # break SPD-ness at large signal variances (cholesky -> NaN)
+        self._cpu = jax.devices("cpu")[0]
         w = jnp.asarray(self._w)
         grid = jnp.asarray(self._grid)
         y = jnp.asarray(self._y)
@@ -235,6 +240,8 @@ class KISSGP:
         self._nlz_and_grad = jax.jit(jax.value_and_grad(nlz))
 
     def evaluate_true(self, x):
+        import jax
+
         x = np.asarray(x, dtype=float)
         if self._use_octave:
             from oct2py import octave
@@ -242,7 +249,7 @@ class KISSGP:
             return np.asarray(octave.KISSGP(np.exp(x))).flatten()
         if self._nlz_and_grad is None:
             self._build()
-        val, grad = self._nlz_and_grad(x)
+        val, grad = self._nlz_and_grad(jax.device_put(x, self._cpu))
         if self._observations:
             return np.concatenate([[float(val)], np.asarray(grad)])
         return np.array([float(val)])

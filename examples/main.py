@@ -28,7 +28,17 @@ def main(argv):
     obj_func_name, method = argv[1], argv[2]
     num_to_sample, job_id = int(argv[3]), int(argv[4])
 
-    objective_func = SYNTHETIC_FUNCTIONS[obj_func_name]()
+    if obj_func_name in SYNTHETIC_FUNCTIONS:
+        objective_func = SYNTHETIC_FUNCTIONS[obj_func_name]()
+    elif obj_func_name in ("KISSGP", "CIFAR10"):
+        # real-function workloads (the reference wires these by editing
+        # its obj_func_dict; here they are first-class CLI choices)
+        from cornell_moe_tpu.utils import real_functions
+        objective_func = getattr(real_functions, obj_func_name)()
+    else:
+        print(f"unknown objective {obj_func_name!r}; choices: "
+              f"{sorted(SYNTHETIC_FUNCTIONS)} + ['KISSGP', 'CIFAR10']")
+        return 1
     if len(argv) > 5 and argv[5] == "HeSBO":
         effective_dim = int(argv[6]) if len(argv) > 6 else 2
         objective_func = hesbo.Projection(effective_dim, objective_func,

@@ -199,3 +199,40 @@ def test_heuristic_ei_shape_stable_no_recompiles(rng, monkeypatch):
     assert len(seen_shapes) == 3
     assert len(set(seen_shapes)) == 1, \
         f"per-round shapes changed: {seen_shapes}"
+
+
+def test_heuristic_ei_preserves_bucketed_point_noise(rng):
+    """Refits inside the heuristic fantasy loop must keep the state's own
+    per-point noise: a shape-bucketed state (PAD_NOISE dummy rows) must
+    yield the same selections as the equivalent unbucketed state.
+
+    Regression test for the round-2 advisor finding: the refit used to
+    rebuild the GP with zero per-point noise, silently promoting dummy
+    rows to full-weight observations.
+    """
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+
+    x = rng.uniform(-2, 2, size=(7, 1))
+    y = np.sin(1.3 * x[:, 0])
+    cov = cov_mod.MaternNu2p5(jnp.asarray([1.0, 0.8]))
+    plain = gp.fit_gp(cov, jnp.asarray([1e-3]), jnp.asarray(x),
+                      jnp.asarray(y)[:, None])
+    xp, yp, pnoise, mean = mcmc_mod.pad_training_data(x, y[:, None], 12)
+    bucketed = gp.fit_gp(cov, jnp.asarray([1e-3]), jnp.asarray(xp),
+                         jnp.asarray(yp), point_noise=jnp.asarray(pnoise),
+                         mean=mean)
+    assert bucketed.point_noise is not None
+
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=4, max_num_steps=25, max_num_restarts=1,
+        gamma=0.7, pre_mult=0.4)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    bsf = float(y.min())
+    pts_plain = ei.heuristic_expected_improvement_optimization(
+        jax.random.PRNGKey(3), plain, dom, 2, params, best_so_far=bsf,
+        num_mc_iterations=400)
+    pts_bucketed = ei.heuristic_expected_improvement_optimization(
+        jax.random.PRNGKey(3), bucketed, dom, 2, params, best_so_far=bsf,
+        num_mc_iterations=400)
+    np.testing.assert_allclose(np.asarray(pts_bucketed),
+                               np.asarray(pts_plain), atol=5e-2)

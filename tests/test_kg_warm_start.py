@@ -191,3 +191,39 @@ def test_warm_multistart_chunked_matches_unchunked(rng):
     np.testing.assert_allclose(np.asarray(full.all_values),
                                np.asarray(chunked.all_values),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_driver_mcmc_multistart_warm_matches_cold(rng):
+    """The production suggest endpoint with warm_start=True (default)
+    returns a suggestion of the same cold-evaluated quality as
+    warm_start=False."""
+    state, x, y = _gp_1d(rng)
+    hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])
+    noises = np.full((2, 1), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None])
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    discrete = jnp.tile(jnp.linspace(-2, 2, 7)[None, :, None], (2, 1, 1))
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=10, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.4,
+        max_relative_change=0.5)
+    key = jax.random.PRNGKey(4)
+    pts_warm = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, warm_start=True)
+    pts_cold = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, warm_start=False)
+    assert pts_warm.shape == (2, 1)
+    assert bool(jnp.all(dom.check_point_inside(pts_warm)))
+
+    normals = draw_antithetic_normals(jax.random.PRNGKey(1), 16, 2)
+    bsf = jnp.asarray([float(y.min())] * 2)
+
+    def cold_kg(pts):
+        return float(kg_mod.knowledge_gradient_mcmc_batch(
+            states, pts[None], discrete, normals, dom, INNER, bsf, 2)[0])
+
+    v_warm, v_cold = cold_kg(pts_warm), cold_kg(pts_cold)
+    assert v_warm > v_cold - 0.05 * abs(v_cold) - 2e-3, (v_warm, v_cold)

@@ -348,7 +348,8 @@ def _numpy_stretch_move(rng, log_prob, p0, num_steps, a=2.0):
     pos = p0.copy()
     w, d = pos.shape
     half = w // 2
-    lp = log_prob(pos)
+    lp = np.array(log_prob(pos))     # writable copy (log_prob may
+    # hand back a read-only view of a device array)
     chain = np.empty((num_steps, w, d))
     for step in range(num_steps):
         for (mov, oth) in ((np.arange(half), np.arange(half, w)),
@@ -371,7 +372,7 @@ def test_sampler_statistics_match_numpy_reference(rng):
     3-d GP log-posterior (log amplitude, log length, log noise)."""
     x, y = _data(rng, n=25, dim=1)
     xj, yj = jnp.asarray(x), jnp.asarray(y)[:, None]
-    prior = priors.NormalPrior(mean=np.zeros(3), sigma=1.5 * np.ones(3))
+    prior = priors.NormalPrior(mean=0.0, sigma=1.5)
 
     def log_prob_jax(thetas):
         def one(t):
