@@ -119,7 +119,7 @@ def pallas_covariance_with_noise_full(points: jax.Array,
 # algebra op (no dynamic indexing anywhere), the idioms the working
 # descent/panel kernels already established.
 
-_LML_SB = 32      # inner block width
+_LML_SB = 32      # inner block width (v5e sweep: 16 compile-heavy, 32 -> 0.79 ms, 64 -> 0.89 ms)
 
 
 def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
