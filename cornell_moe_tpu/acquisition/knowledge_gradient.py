@@ -607,7 +607,7 @@ def knowledge_gradient_batch(state: GaussianProcessState,
                              best_so_far, num_fidelity: int = 0,
                              derivatives_to_sample: Sequence[int] = (),
                              inner_x0=None, return_x_star: bool = False,
-                             warm_mode: str = "pure"):
+                             warm_mode: str = "reseed"):
     """KG at B unions at once: (B, q, dim) -> (B,).
 
     Identical estimator to :func:`knowledge_gradient`; requires a state
@@ -663,7 +663,8 @@ def knowledge_gradient_batch(state: GaussianProcessState,
         x0 = lax.stop_gradient(inner_x0)               # (B, n_mc, d')
         # union-point guard, closed form and live (differentiable):
         # mu'(U) = mu_U + C z - noise_eff * beta per draw
-        cz = jnp.einsum("bij,mj->bim", chol_u, normals)     # (B, q_ch, M)
+        cz = jnp.einsum("bij,mj->bim", chol_u, normals,
+                        precision=linalg.HIGHEST)           # (B, q_ch, M)
         mu_union_f = mu_u[:, :, None] + cz - \
             noise_eff[:, :, None] * jnp.swapaxes(betas, -1, -2)
         mu_x0 = jnp.min(mu_union_f, axis=1)                 # (B, n_mc)
@@ -800,7 +801,7 @@ def knowledge_gradient_mcmc_batch(states: GaussianProcessState,
                                   derivatives_to_sample: Sequence[int] = (),
                                   inner_x0=None,
                                   return_x_star: bool = False,
-                                  warm_mode: str = "pure"):
+                                  warm_mode: str = "reseed"):
     """Batched ensemble KG: (B, q, dim) -> (B,), averaged over members and
     divided by the fidelity cost of each union.
 
@@ -846,7 +847,7 @@ def knowledge_gradient_mcmc_batch_vg_carry(
         states, unions, discrete_pts, normals, domain, inner_params,
         best_so_far, num_to_sample, num_fidelity: int = 0,
         derivatives_to_sample: Sequence[int] = (), inner_x0=None,
-        warm_mode: str = "pure"):
+        warm_mode: str = "reseed"):
     """Like the value_and_grad variant but threading the warm-start carry.
 
     Returns ((B,) values, (B, q, dim) grads, (S, B, n_mc, dim_opt)

@@ -234,7 +234,9 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
 
     def run_round(x, carry, first_round):
         # the very first GD step of the first round consumes the cold
-        # gradients computed while initializing the carry
+        # gradients computed while initializing the carry; that already-
+        # updated point is row 0 of the round's trajectory, so Polyak
+        # averaging sees the same num_steps-row window as the cold path
         start_i = 1 if first_round else 0
 
         def step(sc, i):
@@ -243,14 +245,18 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
             x_new = update(x, g, i)
             return (x_new, carry), x_new
 
-        (x, carry), traj = lax.scan(
+        (xf, carry), traj = lax.scan(
             step, (x, carry),
             jnp.arange(start_i, num_steps, dtype=x.dtype))
-        if use_avg and traj.shape[0] >= avg_n:
-            x = domain.clip(jnp.mean(traj[-avg_n:], axis=0))
-        return x, carry
+        if first_round:
+            traj = jnp.concatenate([x[None], traj], axis=0)
+        if use_avg:
+            xf = domain.clip(jnp.mean(traj[-avg_n:], axis=0))
+        return xf, carry
 
     def run_batch(starts):
+        if num_steps == 0:        # cold semantics: no update at all
+            return starts
         _, g0, carry = bvg_cold(starts)
         x = update(starts, g0, 0)
         x, carry = run_round(x, carry, True)

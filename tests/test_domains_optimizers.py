@@ -217,3 +217,51 @@ def test_dummy_domain():
     step = jnp.asarray([1.0, -2.0])
     np.testing.assert_array_equal(
         np.asarray(dom.limit_update(0.5, pts[0], step)), np.asarray(step))
+
+
+def test_warm_multistart_outer_gd_matches_cold_exactly():
+    """With a carry-ignoring objective, multistart_optimize_batched_warm
+    must be the same outer-GD program as multistart_optimize_batched —
+    including the edge cases where the warm path's first (cold-gradient)
+    step interacts with Polyak averaging (num_steps_averaged ==
+    max_num_steps) and where max_num_steps == 0 (no update at all)."""
+    rng = np.random.default_rng(3)
+    dom = TensorProductDomain.from_bounds([[-1.5, 2.0], [-2.0, 1.0]])
+    target = jnp.asarray([0.3, -0.4])
+
+    def vg(x):
+        v = -jnp.sum((x - target) ** 2, axis=-1)
+        return v, -2.0 * (x - target)
+
+    def bvg_cold(x):
+        v, g = vg(x)
+        return v, g, x
+
+    def bvg_warm(x, carry):
+        v, g = vg(x)
+        return v, g, carry
+
+    starts = jnp.asarray(rng.uniform(-1.5, 1.0, size=(5, 2)))
+
+    p_avg = optimizers.GradientDescentParameters(
+        num_multistarts=5, max_num_steps=4, max_num_restarts=2,
+        num_steps_averaged=4, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    cold = optimizers.multistart_optimize_batched(vg, dom, starts, p_avg)
+    warm = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, dom, starts, p_avg)
+    np.testing.assert_allclose(np.asarray(warm.all_points),
+                               np.asarray(cold.all_points),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(warm.all_values),
+                               np.asarray(cold.all_values),
+                               rtol=1e-13, atol=1e-15)
+
+    p_zero = optimizers.GradientDescentParameters(
+        num_multistarts=5, max_num_steps=0, max_num_restarts=1,
+        num_steps_averaged=0, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    frozen = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, dom, starts, p_zero)
+    np.testing.assert_array_equal(np.asarray(frozen.all_points),
+                                  np.asarray(starts))

@@ -91,7 +91,7 @@ def test_warm_equals_cold_when_started_at_cold_argmin(rng):
         max_relative_change=0.2)
     warm = kg_mod.knowledge_gradient_batch(
         state, unions, discrete, normals, dom, zero_steps, bsf,
-        inner_x0=x_star)
+        inner_x0=x_star, warm_mode="pure")
     # same endpoints, so mu_star identical; the warm guard (union points)
     # is a subset of the cold guard (union points + discrete seeds), hence
     # warm KG <= cold KG, and equal when the descent endpoint wins
