@@ -18,10 +18,14 @@ Run on the TPU tunnel:  python benchmarks/scaling.py [n1 n2 ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def measure(num_obs: int) -> dict:
@@ -91,29 +95,35 @@ def measure(num_obs: int) -> dict:
     starts = rep.generate_latin_hypercube_points(
         jax.random.PRNGKey(1), outer_params.num_multistarts).astype(dtype)
 
-    def bvg_cold(pts_batch):
-        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
-            states, pts_batch, discrete, normals, domain, inner_cold,
-            best_so_far, q)
+    # the GP states are jit ARGUMENTS, not closure constants: at
+    # n=2000 the (16, Np, Np) Cholesky alone is ~270 MB, which blows the
+    # remote-compile tunnel's request-size cap (and the dispatch cost of
+    # big embedded constants) if baked into the program
+    def suggest(states, starts, discrete, normals, best_so_far):
+        def bvg_cold(pts_batch):
+            return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+                states, pts_batch, discrete, normals, domain, inner_cold,
+                best_so_far, q)
 
-    def bvg_warm(pts_batch, carry):
-        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
-            states, pts_batch, discrete, normals, domain, inner_warm,
-            best_so_far, q, inner_x0=carry, warm_mode="reseed")
+        def bvg_warm(pts_batch, carry):
+            return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+                states, pts_batch, discrete, normals, domain, inner_warm,
+                best_so_far, q, inner_x0=carry, warm_mode="reseed")
 
-    def suggest(starts):
         res = optimizers.multistart_optimize_batched_warm(
             bvg_cold, bvg_warm, rep, starts, outer_params, chunk_size=25)
         return res.best_point, res.best_value
 
     suggest_jit = jax.jit(suggest)
+    args = (states, starts, discrete, normals, best_so_far)
+    args = jax.device_put(args)
     t0 = time.time()
-    out = jax.block_until_ready(suggest_jit(starts))
+    out = jax.block_until_ready(suggest_jit(*args))
     compile_s = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
-        out = jax.block_until_ready(suggest_jit(starts))
+        out = jax.block_until_ready(suggest_jit(*args))
         times.append(time.time() - t0)
     best_point, best_kg = out
     assert bool(np.isfinite(float(best_kg)))
