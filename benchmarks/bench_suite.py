@@ -294,6 +294,66 @@ def main(small: bool = False):
             "averaged posterior-mean argmin, grid 500 + SGA)", secs,
             {"vs_reference_3.63s": round(3.63 / secs, 2)})
 
+    # ---- config 8: q-KG at the reference transcript's exact shape ------
+    # Reference: Branin, q=4, 16 MCMC-averaged hyper sets, ~12 obs, 200
+    # multistarts, 2^7 MC — 100.08 s (README.md:211).  Same production
+    # warm-started solver as bench.py, just at the transcript's tiny
+    # observation count instead of the 500-obs north-star shape.
+    n_b, s_b, q_b = 12, 16, 4
+    xb = rng.random((n_b, 2))
+    yb = np.array([sf.Branin().evaluate_true(
+        p * [15, 20] + [0, -5])[0] for p in xb])
+    yb = (yb - yb.mean()) / yb.std()
+    hyp_b = np.stack([0.5 + 1.5 * rng.random(s_b),
+                      0.2 + 0.4 * rng.random(s_b),
+                      0.2 + 0.4 * rng.random(s_b)], axis=1)
+    states_b = mcmc_mod.fit_gp_ensemble(
+        "matern_2.5", jnp.asarray(hyp_b, dtype),
+        jnp.full((s_b, 1), 1e-2, dtype), jnp.asarray(xb, dtype),
+        jnp.asarray(yb, dtype)[:, None], jitter=1e-5)
+    dom_b = TensorProductDomain.from_bounds(
+        np.array([[0.0, 1.0], [0.0, 1.0]], dtype=np.float32))
+    rep_b = RepeatedDomain(domain=dom_b, num_repeats=q_b)
+    outer_b = optimizers.GradientDescentParameters(
+        num_multistarts=200 // scale, max_num_steps=30 // scale,
+        max_num_restarts=1, num_steps_averaged=4, gamma=0.7,
+        pre_mult=1.0, max_relative_change=0.5)
+    inner_cold_b = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    inner_warm_b = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=1, max_num_restarts=1,
+        num_steps_averaged=0, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    disc_b = jnp.asarray(rng.random((s_b, 11, 2)), dtype)
+    bsf_b = jnp.full((s_b,), float(yb.min()), dtype)
+    normals_b = ei_mod.draw_antithetic_normals(
+        jax.random.PRNGKey(6), 2**7, q_b, dtype=dtype)
+
+    def bvg_cold_b(pts):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states_b, pts, disc_b, normals_b, dom_b, inner_cold_b,
+            bsf_b, q_b)
+
+    def bvg_warm_b(pts, carry):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states_b, pts, disc_b, normals_b, dom_b, inner_warm_b,
+            bsf_b, q_b, inner_x0=carry, warm_mode="reseed")
+
+    def qkg_ref_suggest(starts):
+        res = optimizers.multistart_optimize_batched_warm(
+            bvg_cold_b, bvg_warm_b, rep_b, starts, outer_b,
+            chunk_size=25 if not small else None)
+        return res.best_point
+
+    starts_b = rep_b.generate_latin_hypercube_points(
+        jax.random.PRNGKey(7), outer_b.num_multistarts).astype(dtype)
+    secs, _ = _timeit(jax.jit(qkg_ref_suggest), starts_b)
+    _report("q-KG suggest at the reference transcript shape (Branin, "
+            "q=4, 12 obs, 16 hypers, 200 multistarts, 128 MC)", secs,
+            {"vs_reference_100.08s": round(100.08 / secs, 2)})
+
     print(f"# device: {jax.devices()[0].platform}", file=sys.stderr)
 
 
