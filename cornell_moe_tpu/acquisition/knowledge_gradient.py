@@ -717,8 +717,12 @@ def knowledge_gradient_batch(state: GaussianProcessState,
                      lax.stop_gradient(starts)[:, :, None, :],
                      axis=1)                                # (B, n_mc, d')
         mu_x0 = jnp.min(mu_starts, axis=1)                  # (B, n_mc)
+        # the seeded argmin is the reseed candidate for the returned carry
+        # in the cold call too (it initializes the warm solver's carry):
+        # any draw whose 6-step descent overshoots falls back to the
+        # winning seed instead of handing the warm steps a losing start
+        x0_seed = x0
         if warm:                                            # "reseed" mode
-            x0_seed = x0
             x0 = lax.stop_gradient(inner_x0)
 
     # --- inner descent: all (B, n_mc) posterior-mean minimizations in
@@ -781,7 +785,7 @@ def knowledge_gradient_batch(state: GaussianProcessState,
     best_min = jnp.minimum(mu_star, mu_x0)                  # (B, n_mc)
     kg = jnp.mean(best_posterior[:, None] - best_min, axis=1)
     if return_x_star:
-        if warm and x0_seed is not None:
+        if x0_seed is not None:
             # re-seed any draw whose guard candidate beat the descended
             # endpoint, so the carry jumps basins instead of tracking a
             # stale local minimum
@@ -831,15 +835,13 @@ def knowledge_gradient_mcmc_batch_value_and_grad(
         states, unions, discrete_pts, normals, domain, inner_params,
         best_so_far, num_to_sample, num_fidelity: int = 0,
         derivatives_to_sample: Sequence[int] = ()):
-    """((B,), (B, q, dim)) value and per-union gradients via one vjp."""
-    def f(u):
-        return knowledge_gradient_mcmc_batch(
-            states, u, discrete_pts, normals, domain, inner_params,
-            best_so_far, num_to_sample, num_fidelity,
-            derivatives_to_sample)
+    """((B,), (B, q, dim)) value and per-union gradients via one vjp.
 
-    vals, vjp = jax.vjp(f, unions)
-    grads = vjp(jnp.ones_like(vals))[0]
+    Cold-path delegate of :func:`knowledge_gradient_mcmc_batch_vg_carry`
+    (the unused carry output is dead-code-eliminated under jit)."""
+    vals, grads, _ = knowledge_gradient_mcmc_batch_vg_carry(
+        states, unions, discrete_pts, normals, domain, inner_params,
+        best_so_far, num_to_sample, num_fidelity, derivatives_to_sample)
     return vals, grads
 
 

@@ -314,9 +314,12 @@ class GaussianProcessLogLikelihoodMCMC:
             from cornell_moe_tpu.ops import pallas_kernels as pk
 
             n_obs = x.shape[0]
-            # beyond ~1280 the (Np, Np) working matrix exceeds the
-            # kernel's VMEM budget even at wb=1; XLA takes over
-            if x.dtype != jnp.float32 or n_obs > 1280:
+            # Mosaic-compile-checked cutoff (real v5e, round 3): every
+            # padded size up to 896 compiles ((640, wb=4), (768, wb=2/4),
+            # (896, wb=2) measured OK); every Np >= 1024 fails to compile
+            # even at wb=1 (a_scr + the K-build temporaries exceed the
+            # kernel's VMEM budget).  XLA takes over beyond 896.
+            if x.dtype != jnp.float32 or n_obs > 896:
                 return vmapped(thetas, x, y, point_noise)
             w = thetas.shape[0]
             np_ = -(-n_obs // 128) * 128

@@ -177,6 +177,29 @@ def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
     return x
 
 
+def _chunked_multistart(run_batch: Callable, value_fn: Callable,
+                        initial_points: jax.Array,
+                        chunk_size: Optional[int]) -> MultistartResult:
+    """Dispatch restarts (whole or in sequential lax.map chunks), score the
+    endpoints with ``value_fn``, and argmax-select (NaN values lose)."""
+    n = initial_points.shape[0]
+    if chunk_size and n % chunk_size == 0 and n > chunk_size:
+        chunked = initial_points.reshape(
+            (n // chunk_size, chunk_size) + initial_points.shape[1:])
+        final_points = jax.lax.map(run_batch, chunked).reshape(
+            initial_points.shape)
+        values = jax.lax.map(
+            value_fn, final_points.reshape(chunked.shape)).reshape(-1)
+    else:
+        final_points = run_batch(initial_points)
+        values = value_fn(final_points)
+    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe_values)
+    return MultistartResult(best_point=final_points[best],
+                            best_value=values[best],
+                            all_points=final_points, all_values=values)
+
+
 def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
                                 initial_points: jax.Array,
                                 params: GradientDescentParameters,
@@ -187,23 +210,9 @@ def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
         return gradient_ascent_batch(batched_value_and_grad, domain,
                                      starts, params)
 
-    n = initial_points.shape[0]
-    if chunk_size and n % chunk_size == 0 and n > chunk_size:
-        chunked = initial_points.reshape(
-            (n // chunk_size, chunk_size) + initial_points.shape[1:])
-        final_points = jax.lax.map(run_batch, chunked).reshape(
-            initial_points.shape)
-        values = jax.lax.map(
-            lambda c: batched_value_and_grad(c)[0],
-            final_points.reshape(chunked.shape)).reshape(-1)
-    else:
-        final_points = run_batch(initial_points)
-        values = batched_value_and_grad(final_points)[0]
-    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
-    best = jnp.argmax(safe_values)
-    return MultistartResult(best_point=final_points[best],
-                            best_value=values[best],
-                            all_points=final_points, all_values=values)
+    return _chunked_multistart(run_batch,
+                               lambda c: batched_value_and_grad(c)[0],
+                               initial_points, chunk_size)
 
 
 def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
@@ -264,23 +273,8 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
             x, carry = run_round(x, carry, False)
         return x
 
-    n = initial_points.shape[0]
-    if chunk_size and n % chunk_size == 0 and n > chunk_size:
-        chunked = initial_points.reshape(
-            (n // chunk_size, chunk_size) + initial_points.shape[1:])
-        final_points = jax.lax.map(run_batch, chunked).reshape(
-            initial_points.shape)
-        values = jax.lax.map(
-            lambda c: bvg_cold(c)[0],
-            final_points.reshape(chunked.shape)).reshape(-1)
-    else:
-        final_points = run_batch(initial_points)
-        values = bvg_cold(final_points)[0]
-    safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
-    best = jnp.argmax(safe_values)
-    return MultistartResult(best_point=final_points[best],
-                            best_value=values[best],
-                            all_points=final_points, all_values=values)
+    return _chunked_multistart(run_batch, lambda c: bvg_cold(c)[0],
+                               initial_points, chunk_size)
 
 
 def multistart_optimize(value_and_grad_fn: Callable, domain,
