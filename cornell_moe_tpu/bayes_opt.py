@@ -41,21 +41,29 @@ DEFAULT_SGD_PARAMS_RECOMMEND = optimizers.GradientDescentParameters(
     max_relative_change=0.02, tolerance=1.0e-10)
 
 
-def gen_sample_from_qei(key, state, domain, params, num_to_sample,
-                        num_mc=2**10):
-    """q-EI suggestion from a single GP (bayesian_optimization.py:13)."""
+def _qei_suggest_arrays(key, state, domain, params, num_to_sample,
+                        num_mc):
+    """Jit-safe body of :func:`gen_sample_from_qei` (array outputs)."""
     pts = ei_mod.multistart_expected_improvement_optimization(
         key, state, domain, num_to_sample, params,
         num_mc_iterations=num_mc)
     key_eval = jax.random.fold_in(key, 1)
     voi = ei_mod.evaluate_expected_improvement_at_point_list(
         state, pts[None], key=key_eval, num_mc_iterations=num_mc)[0]
+    return pts, voi
+
+
+def gen_sample_from_qei(key, state, domain, params, num_to_sample,
+                        num_mc=2**10):
+    """q-EI suggestion from a single GP (bayesian_optimization.py:13)."""
+    pts, voi = _qei_suggest_arrays(key, state, domain, params,
+                                   num_to_sample, num_mc)
     return pts, float(voi)
 
 
-def gen_sample_from_qei_mcmc(key, states, domain, params, num_to_sample,
-                             num_mc=2**10):
-    """Ensemble-averaged q-EI suggestion (bayesian_optimization.py:37)."""
+def _qei_mcmc_suggest_arrays(key, states, domain, params, num_to_sample,
+                             num_mc):
+    """Jit-safe body of :func:`gen_sample_from_qei_mcmc`."""
     pts = ei_mod.multistart_expected_improvement_mcmc_optimization(
         key, states, domain, num_to_sample, params,
         num_mc_iterations=num_mc)
@@ -65,6 +73,14 @@ def gen_sample_from_qei_mcmc(key, states, domain, params, num_to_sample,
     voi = ei_mod.monte_carlo_expected_improvement_mcmc(
         states, pts, None, jax.vmap(
             lambda s: s.best_observed_value)(states), normals)
+    return pts, voi
+
+
+def gen_sample_from_qei_mcmc(key, states, domain, params, num_to_sample,
+                             num_mc=2**10):
+    """Ensemble-averaged q-EI suggestion (bayesian_optimization.py:37)."""
+    pts, voi = _qei_mcmc_suggest_arrays(key, states, domain, params,
+                                        num_to_sample, num_mc)
     return pts, float(voi)
 
 
@@ -81,9 +97,9 @@ def seed_kg_discretization(key, states, domain,
     if qei_params is None:
         qei_params = DEFAULT_SGD_PARAMS_KG
     k_ei, k_eval = jax.random.split(key)
-    discrete, _ = gen_sample_from_qei_mcmc(k_ei, states, domain,
+    discrete, _ = _qei_mcmc_suggest_arrays(k_ei, states, domain,
                                            qei_params, num_qei_pts,
-                                           num_mc=num_mc)
+                                           num_mc)
     dim = states.points_sampled.shape[-1]
     dim_opt = dim - num_fidelity
     inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
@@ -111,13 +127,10 @@ def best_so_far_from_discretization(states, discrete_pts,
     return jax.vmap(per_model)(states, discrete_pts)
 
 
-def gen_sample_from_qkg_mcmc(key, states, domain, discrete_pts,
-                             params=None, inner_params=DEFAULT_SGD_PARAMS_PS,
-                             num_to_sample: int = 1, num_mc=2**7,
-                             num_fidelity: int = 0):
-    """Ensemble-averaged q-KG suggestion (bayesian_optimization.py:60)."""
-    if params is None:
-        params = DEFAULT_SGD_PARAMS_KG
+def _qkg_suggest_arrays(key, states, domain, discrete_pts, params,
+                        inner_params, num_to_sample, num_mc,
+                        num_fidelity):
+    """Jit-safe body of :func:`gen_sample_from_qkg_mcmc`."""
     best_so_far = best_so_far_from_discretization(states, discrete_pts,
                                                   num_fidelity)
     pts = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
@@ -132,6 +145,19 @@ def gen_sample_from_qkg_mcmc(key, states, domain, discrete_pts,
     voi = kg_mod.knowledge_gradient_mcmc(
         states, pts, discrete_pts, normals, inner_domain, inner_params,
         best_so_far, num_to_sample, num_fidelity)
+    return pts, voi
+
+
+def gen_sample_from_qkg_mcmc(key, states, domain, discrete_pts,
+                             params=None, inner_params=DEFAULT_SGD_PARAMS_PS,
+                             num_to_sample: int = 1, num_mc=2**7,
+                             num_fidelity: int = 0):
+    """Ensemble-averaged q-KG suggestion (bayesian_optimization.py:60)."""
+    if params is None:
+        params = DEFAULT_SGD_PARAMS_KG
+    pts, voi = _qkg_suggest_arrays(key, states, domain, discrete_pts,
+                                   params, inner_params, num_to_sample,
+                                   num_mc, num_fidelity)
     return pts, float(voi)
 
 
@@ -176,6 +202,12 @@ class BayesianOptimizer:
         self._key = jax.random.PRNGKey(self.seed)
         self.capital_so_far = 0.0
         self.history = []
+        # cached jitted phase programs (suggest / recommend): one device
+        # program per shape bucket, retraced automatically on bucket
+        # crossings; keeps the steady-state loop recompile-free AND free
+        # of per-op dispatch overhead (eager scans outside jit bake the
+        # GP state in as constants and would recompile every iteration)
+        self._programs = {}
         from cornell_moe_tpu.utils.logging_utils import PhaseTimer
         self.timer = PhaseTimer()
 
@@ -212,31 +244,45 @@ class BayesianOptimizer:
                   f"{n} points")
         return data
 
+    def _suggest_program(self):
+        prog = self._programs.get("suggest")
+        if prog is not None:
+            return prog
+        if self.method == "KG":
+            def run(k_seed, k_sugg, states):
+                discrete = seed_kg_discretization(
+                    k_seed, states, self.domain,
+                    qei_params=self.sgd_params,
+                    ps_params=self.inner_sgd_params,
+                    num_fidelity=self.num_fidelity)
+                return _qkg_suggest_arrays(
+                    k_sugg, states, self.domain, discrete,
+                    self.sgd_params, self.inner_sgd_params,
+                    self.num_to_sample, self.num_mc, self.num_fidelity)
+        elif self.method == "EI":
+            def run(k_sugg, states):
+                member = mcmc_mod.ensemble_member(states, 0)
+                return _qei_suggest_arrays(
+                    k_sugg, member, self.domain, self.sgd_params,
+                    self.num_to_sample, self.num_mc)
+        else:
+            raise ValueError(f"method {self.method} not supported")
+        prog = jax.jit(run)
+        self._programs["suggest"] = prog
+        return prog
+
     def suggest(self):
         t0 = time.time()
         states = self.model.models
+        prog = self._suggest_program()
         if self.method == "KG":
-            discrete = seed_kg_discretization(
-                self._next_key(), states, self.domain,
-                qei_params=self.sgd_params,
-                ps_params=self.inner_sgd_params,
-                num_fidelity=self.num_fidelity)
-            pts, voi = gen_sample_from_qkg_mcmc(
-                self._next_key(), states, self.domain, discrete,
-                params=self.sgd_params,
-                inner_params=self.inner_sgd_params,
-                num_to_sample=self.num_to_sample, num_mc=self.num_mc,
-                num_fidelity=self.num_fidelity)
-        elif self.method == "EI":
-            member = mcmc_mod.ensemble_member(states, 0)
-            pts, voi = gen_sample_from_qei(
-                self._next_key(), member, self.domain, self.sgd_params,
-                self.num_to_sample, num_mc=self.num_mc)
+            pts, voi = prog(self._next_key(), self._next_key(), states)
         else:
-            raise ValueError(f"method {self.method} not supported")
+            pts, voi = prog(self._next_key(), states)
+        pts, voi = np.asarray(pts), float(voi)
         self._log(f"{self.method} suggest took {time.time() - t0:.2f}s, "
                   f"VOI {voi:.6f}")
-        return np.asarray(pts), voi
+        return pts, voi
 
     def observe(self, points):
         f = self.objective_func
@@ -254,31 +300,45 @@ class BayesianOptimizer:
         self._log(f"retraining took {time.time() - t0:.2f}s")
         return sampled
 
-    def recommend(self, num_eval_pts: int = 10000):
-        """Argmin of the ensemble posterior mean (examples/main.py:243)."""
-        t0 = time.time()
-        states = self.model.models
+    def _recommend_program(self, num_eval_pts: int):
+        cache_key = ("recommend", num_eval_pts)
+        prog = self._programs.get(cache_key)
+        if prog is not None:
+            return prog
         dim_opt = self.dim - self.num_fidelity
         inner_domain = TensorProductDomain(
             bounds=self.domain.bounds[:dim_opt])
-        eval_pts = inner_domain.generate_uniform_random_points_in_domain(
-            self._next_key(), num_eval_pts)
-        # use the (bucket-padded) state points so the guess-set shape is
-        # stable across iterations and this program compiles once
-        sampled = states.points_sampled[0][:, :dim_opt]
-        guesses = jnp.concatenate([eval_pts, sampled], axis=0)
 
-        def ensemble_neg_mean(x):
-            return jnp.mean(jax.vmap(
-                lambda s: kg_mod.posterior_mean_objective(
-                    s, x, self.num_fidelity))(states))
+        def run(key, states):
+            eval_pts = \
+                inner_domain.generate_uniform_random_points_in_domain(
+                    key, num_eval_pts)
+            # use the (bucket-padded) state points so the guess-set shape
+            # is stable across iterations and this program compiles once
+            sampled = states.points_sampled[0][:, :dim_opt]
+            guesses = jnp.concatenate([eval_pts, sampled], axis=0)
 
-        vals = jax.vmap(ensemble_neg_mean)(guesses)
-        x0 = guesses[jnp.argmax(vals)]
-        vg = jax.value_and_grad(ensemble_neg_mean)
-        x = optimizers.gradient_ascent(vg, inner_domain, x0,
-                                       DEFAULT_SGD_PARAMS_RECOMMEND)
-        x = jnp.where(ensemble_neg_mean(x) > vals.max(), x, x0)
+            def ensemble_neg_mean(x):
+                return jnp.mean(jax.vmap(
+                    lambda s: kg_mod.posterior_mean_objective(
+                        s, x, self.num_fidelity))(states))
+
+            vals = jax.vmap(ensemble_neg_mean)(guesses)
+            x0 = guesses[jnp.argmax(vals)]
+            vg = jax.value_and_grad(ensemble_neg_mean)
+            x = optimizers.gradient_ascent(vg, inner_domain, x0,
+                                           DEFAULT_SGD_PARAMS_RECOMMEND)
+            return jnp.where(ensemble_neg_mean(x) > vals.max(), x, x0)
+
+        prog = jax.jit(run)
+        self._programs[cache_key] = prog
+        return prog
+
+    def recommend(self, num_eval_pts: int = 10000):
+        """Argmin of the ensemble posterior mean (examples/main.py:243)."""
+        t0 = time.time()
+        x = self._recommend_program(num_eval_pts)(
+            self._next_key(), self.model.models)
         report = np.concatenate([np.asarray(x),
                                  np.ones(self.num_fidelity)])
         self._log(f"recommendation took {time.time() - t0:.2f}s")
