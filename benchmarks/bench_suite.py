@@ -354,6 +354,42 @@ def main(small: bool = False):
             "q=4, 12 obs, 16 hypers, 200 multistarts, 128 MC)", secs,
             {"vs_reference_100.08s": round(100.08 / secs, 2)})
 
+    # ---- config 9: full BayesianOptimizer iteration, transcript shape ---
+    # The end-to-end per-iteration wall-clock of the production driver
+    # (suggest + observe/retrain + recommend) at the reference
+    # transcript's configuration: Branin, q=4, 12 init points, 16-walker
+    # MCMC ensemble, chain 1000 / burn-in 2000, the reference's 2x50
+    # outer GD schedule (examples/main.py:132-140).  The reference pays
+    # 100.08 + 5.53 + 1.67 = 107.28 s per iteration (README.md:211-220).
+    # Iterations 0-1 compile the three jitted phase programs (shape
+    # buckets 16 then 32); iterations 2-3 are the steady state.
+    from cornell_moe_tpu import bayes_opt as bo_mod
+    bo = bo_mod.BayesianOptimizer(
+        objective_func=sf.Branin(), method="KG", num_to_sample=4,
+        n_hypers=16, chain_length=1000 // scale,
+        burnin_steps=2000 // scale, noisy=False, verbose=False, seed=0)
+    t0 = time.time()
+    bo.initialize(num_init_pts=12)
+    init_s = time.time() - t0
+
+    def one_iteration():
+        pts, _ = bo.suggest()
+        bo.observe(pts)
+        bo.recommend()
+
+    iter_times = []
+    for _ in range(4 if not small else 2):
+        t0 = time.time()
+        one_iteration()
+        iter_times.append(round(time.time() - t0, 4))
+    _report("full BO iteration, production driver (Branin q=4 KG, 16 "
+            "hypers, chain 1000, 2x50-step outer GD)",
+            min(iter_times[2:]) if not small else iter_times[-1],
+            {"vs_reference_107.28s":
+             round(107.28 / min(iter_times[2:]), 2) if not small else None,
+             "per_iteration_s": iter_times,
+             "initial_train_s": round(init_s, 1)})
+
     print(f"# device: {jax.devices()[0].platform}", file=sys.stderr)
 
 
