@@ -323,7 +323,10 @@ class BayesianOptimizer:
                     lambda s: kg_mod.posterior_mean_objective(
                         s, x, self.num_fidelity))(states))
 
+            # non-finite guesses lose the argmax (NaN would otherwise
+            # poison it and select an arbitrary grid point)
             vals = jax.vmap(ensemble_neg_mean)(guesses)
+            vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
             x0 = guesses[jnp.argmax(vals)]
             vg = jax.value_and_grad(ensemble_neg_mean)
             x = optimizers.gradient_ascent(vg, inner_domain, x0,

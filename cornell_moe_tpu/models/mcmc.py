@@ -24,6 +24,7 @@ serial loop (gpp_knowledge_gradient_mcmc_optimization.cpp:137-143).
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Callable, Optional, Sequence
 
@@ -475,12 +476,45 @@ class GaussianProcessLogLikelihoodMCMC:
             noises = lin[:, self.dim + 1:]
         else:
             noises = np.full((lin.shape[0], num_noise), NOISELESS_VALUE)
-        self._hypers, self._noises = cov_hypers, noises
-        self._models = fit_gp_ensemble(
+        models = fit_gp_ensemble(
             self.kernel_name, jnp.asarray(cov_hypers),
             jnp.asarray(noises), self._data.points_sampled,
             self._data.points_sampled_value, self._derivatives,
             bucket=self.bucket)
+        # f32 robustness: on raw-scale (unstandardized) objectives the
+        # chain legitimately visits large amplitudes (K diagonal ~1e4+),
+        # where the noiseless 1e-8 nugget is ~1e-12 RELATIVE and the
+        # single-precision Cholesky goes non-finite.  One such member
+        # poisons every ensemble-averaged quantity downstream (KG values,
+        # posterior-mean argmin), so replace failed members with surviving
+        # walkers (round-robin) and refit — the failed fit carries no
+        # usable information.  Exactly zero members are affected in f64
+        # (the parity suite) or on standardized data (the bench).
+        bad = np.asarray(jax.vmap(
+            lambda s: ~jnp.all(jnp.isfinite(s.chol_K)))(models))
+        if bad.any():
+            if bad.all():
+                raise FloatingPointError(
+                    "every ensemble member's covariance factorization is "
+                    "non-finite; the objective's value scale likely "
+                    "exceeds single-precision range — standardize the "
+                    "observed values")
+            good = np.where(~bad)[0]
+            repl = good[np.arange(int(bad.sum())) % len(good)]
+            logging.getLogger("cornell_moe_tpu").warning(
+                "replacing %d/%d non-finite ensemble member fits with "
+                "surviving walkers", int(bad.sum()), len(bad))
+            cov_hypers = np.array(cov_hypers)
+            noises = np.array(noises)
+            cov_hypers[bad] = cov_hypers[repl]
+            noises[bad] = noises[repl]
+            models = fit_gp_ensemble(
+                self.kernel_name, jnp.asarray(cov_hypers),
+                jnp.asarray(noises), self._data.points_sampled,
+                self._data.points_sampled_value, self._derivatives,
+                bucket=self.bucket)
+        self._hypers, self._noises = cov_hypers, noises
+        self._models = models
 
     # -- accessors (reference API parity) ---------------------------------
     @property

@@ -409,3 +409,41 @@ def test_sampler_statistics_match_numpy_reference(rng):
         sd = ref[:, k].std()
         assert abs(dev[:, k].mean() - ref[:, k].mean()) < 0.2 * sd, k
         assert abs(dev[:, k].std() - sd) < 0.25 * sd, k
+
+
+def test_finalize_repairs_nonfinite_member_fits(rng, monkeypatch):
+    """A walker whose GP fit produces a non-finite Cholesky (f32 raw-scale
+    amplitude blow-up in production) is replaced by a surviving walker at
+    finalize time instead of poisoning every ensemble-averaged quantity."""
+    x = rng.random((8, 1)) * 4 - 2
+    y = np.sin(2 * x[:, 0])
+    data = HistoricalData(dim=1)
+    data.append_historical_data(x, y)
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, chain_length=40, burnin_steps=40, n_hypers=4, noisy=False,
+        rng_key=jax.random.PRNGKey(3))
+    ll.train()
+
+    sentinel = 123.456        # linear-space amplitude marking "bad" fits
+    orig = mcmc.fit_gp_ensemble
+
+    def poisoned(kernel_name, hypers, noises, *a, **k):
+        st = orig(kernel_name, hypers, noises, *a, **k)
+        bad = jnp.isclose(jnp.asarray(hypers)[:, 0], sentinel, rtol=1e-9)
+        return st.replace(chol_K=jnp.where(
+            bad[:, None, None], jnp.nan, st.chol_K))
+
+    monkeypatch.setattr(mcmc, "fit_gp_ensemble", poisoned)
+    ll.hypers = np.array(ll.hypers)
+    ll.hypers[0, 0] = np.log(sentinel)
+    ll._finalize_models()
+    assert bool(jnp.all(jnp.isfinite(ll.models.chol_K)))
+    # the bad member's hyperparameters were remapped to a survivor
+    assert not np.isclose(ll._hypers[0, 0], sentinel)
+    assert any(np.allclose(ll._hypers[0], ll._hypers[j])
+               for j in range(1, ll._hypers.shape[0]))
+
+    # every member failing is unrecoverable and must raise, not proceed
+    ll.hypers[:, 0] = np.log(sentinel)
+    with pytest.raises(FloatingPointError):
+        ll._finalize_models()
