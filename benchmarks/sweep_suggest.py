@@ -9,8 +9,10 @@ normals are shared across configs so the KG values are comparable.
 
 Usage: python benchmarks/sweep_suggest.py [config ...]
 where config is "cold,<steps>,<restarts>,<chunk>" or
-"warm,<steps>,<restarts>,<chunk>,<warm_inner_steps>" (pure warm) or
-"reseed,<steps>,<restarts>,<chunk>,<warm_inner_steps>" (seeded warm).
+"warm,<steps>,<restarts>,<chunk>,<warm_inner_steps>[,<conv_tol>]" (pure
+warm) or "reseed,<steps>,<restarts>,<chunk>,<warm_inner_steps>
+[,<conv_tol>]" (seeded warm); conv_tol enables the per-chunk
+convergence-gated early exit (max step-norm over the chunk).
 Defaults to the round-3 decision sweep.
 """
 import os
@@ -102,7 +104,7 @@ def suggest_cold(starts, steps, restarts, chunk):
 
 
 def suggest_warm(starts, steps, restarts, chunk, warm_steps,
-                 warm_mode="pure"):
+                 warm_mode="pure", conv_tol=None):
     inner_warm = optimizers.GradientDescentParameters(
         num_multistarts=1, max_num_steps=warm_steps, max_num_restarts=1,
         num_steps_averaged=0, gamma=0.0, pre_mult=1.0,
@@ -115,7 +117,7 @@ def suggest_warm(starts, steps, restarts, chunk, warm_steps,
 
     res = optimizers.multistart_optimize_batched_warm(
         bvg_cold, bvg_warm, rep, starts, mk_outer(steps, restarts),
-        chunk_size=chunk)
+        chunk_size=chunk, conv_tol=conv_tol)
     return res.best_point, res.best_value
 
 
@@ -125,9 +127,10 @@ def run(cfg):
     steps, restarts, chunk = int(parts[1]), int(parts[2]), int(parts[3])
     if kind in ("warm", "reseed"):
         wsteps = int(parts[4])
+        conv_tol = float(parts[5]) if len(parts) > 5 else None
         mode = "pure" if kind == "warm" else "reseed"
         fn = jax.jit(lambda s: suggest_warm(s, steps, restarts, chunk,
-                                            wsteps, mode))
+                                            wsteps, mode, conv_tol))
     else:
         fn = jax.jit(lambda s: suggest_cold(s, steps, restarts, chunk))
     t0 = time.time()

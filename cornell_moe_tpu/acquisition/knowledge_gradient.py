@@ -40,7 +40,7 @@ program.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -966,7 +966,8 @@ def multistart_knowledge_gradient_mcmc_optimization(
         num_fidelity: int = 0,
         derivatives_to_sample: Sequence[int] = (),
         chunk_size=None, use_batched: bool = True,
-        warm_start: bool = True) -> jax.Array:
+        warm_start: bool = True,
+        conv_tol: Optional[float] = None) -> jax.Array:
     """MCMC-averaged q-KG suggestion over a stacked ensemble.
 
     Counterpart of multistart_knowledge_gradient_mcmc_optimization
@@ -980,6 +981,11 @@ def multistart_knowledge_gradient_mcmc_optimization(
     ``inner_params.max_num_steps``, while the seeding (and hence the
     estimator) is unchanged; measured 4.3x on the suggest bench at
     equal suggestion quality (benchmarks/SWEEP_r03.md).
+
+    ``conv_tol`` (warm path only): per-chunk convergence-gated early
+    exit on the outer GD — the C++ GD's step-norm tolerance semantics
+    (gpp_optimization.hpp:641,667-671) applied chunk-wide; see
+    multistart_optimize_batched_warm.
     """
     from cornell_moe_tpu.ops.domains import (RepeatedDomain,
                                              TensorProductDomain)
@@ -1039,7 +1045,7 @@ def multistart_knowledge_gradient_mcmc_optimization(
 
             res = optimizers.multistart_optimize_batched_warm(
                 bvg_cold, bvg_warm, rep, starts, params,
-                chunk_size=chunk_size)
+                chunk_size=chunk_size, conv_tol=conv_tol)
             return res.best_point
 
         def bvg(pts_batch):

@@ -36,7 +36,12 @@ DEFAULT_SGD_PARAMS_PS = optimizers.GradientDescentParameters(
     num_steps_averaged=3, gamma=0.0, pre_mult=1.0,
     max_relative_change=0.1, tolerance=1.0e-10)
 DEFAULT_SGD_PARAMS_RECOMMEND = optimizers.GradientDescentParameters(
-    num_multistarts=1, max_num_steps=1000, max_num_restarts=3,
+    # The reference passes max_num_restarts=3 here (examples/main.py:115)
+    # but its pure-Python GD never implements restarts (or tolerance):
+    # python_version/optimization.py:502,526 are TODO(GH-59), so exactly
+    # ONE 1000-step trajectory runs.  max_num_restarts=1 is the parity
+    # setting; 3 would do 3x the reference's recommend work.
+    num_multistarts=1, max_num_steps=1000, max_num_restarts=1,
     num_steps_averaged=15, gamma=0.7, pre_mult=1.0,
     max_relative_change=0.02, tolerance=1.0e-10)
 
@@ -129,14 +134,15 @@ def best_so_far_from_discretization(states, discrete_pts,
 
 def _qkg_suggest_arrays(key, states, domain, discrete_pts, params,
                         inner_params, num_to_sample, num_mc,
-                        num_fidelity):
+                        num_fidelity, conv_tol=None):
     """Jit-safe body of :func:`gen_sample_from_qkg_mcmc`."""
     best_so_far = best_so_far_from_discretization(states, discrete_pts,
                                                   num_fidelity)
     pts = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
         key, states, domain, num_to_sample, params, inner_params,
         discrete_pts, best_so_far=best_so_far,
-        num_mc_iterations=num_mc, num_fidelity=num_fidelity)
+        num_mc_iterations=num_mc, num_fidelity=num_fidelity,
+        conv_tol=conv_tol)
     normals = ei_mod.draw_antithetic_normals(
         jax.random.fold_in(key, 1), num_mc, num_to_sample,
         dtype=states.points_sampled.dtype)
@@ -188,6 +194,11 @@ class BayesianOptimizer:
     # pad num_sampled to multiples of this so retraining and suggesting
     # reuse compiled programs across iterations (0 = off)
     shape_bucket: int = 16
+    # optional convergence gate for the warm KG outer GD (step-norm
+    # early exit per chunk, gpp_optimization.hpp:667-671 semantics);
+    # None = fixed-depth.  3e-3 measured equal-suggestion at 2x less
+    # wall on the bench problem (benchmarks/SWEEP_r03.md)
+    suggest_conv_tol: Optional[float] = None
 
     def __post_init__(self):
         from cornell_moe_tpu.config import enable_compilation_cache
@@ -258,7 +269,8 @@ class BayesianOptimizer:
                 return _qkg_suggest_arrays(
                     k_sugg, states, self.domain, discrete,
                     self.sgd_params, self.inner_sgd_params,
-                    self.num_to_sample, self.num_mc, self.num_fidelity)
+                    self.num_to_sample, self.num_mc, self.num_fidelity,
+                    conv_tol=self.suggest_conv_tol)
         elif self.method == "EI":
             def run(k_sugg, states):
                 member = mcmc_mod.ensemble_member(states, 0)

@@ -218,7 +218,8 @@ def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
 def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
                                      domain, initial_points: jax.Array,
                                      params: GradientDescentParameters,
-                                     chunk_size: Optional[int] = None
+                                     chunk_size: Optional[int] = None,
+                                     conv_tol: Optional[float] = None
                                      ) -> MultistartResult:
     """Multistart GD threading an inner-problem carry across outer steps.
 
@@ -229,6 +230,18 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
     objective used for every subsequent GD step.  Outer GD semantics are
     identical to :func:`multistart_optimize_batched` (decaying LR reset
     per restart round, domain-limited steps, trailing Polyak averaging).
+
+    ``conv_tol``: optional convergence gate mirroring the reference GD's
+    per-step exit, ``||step||_2 < tolerance`` (gpp_optimization.hpp:
+    641,667-671 — there tolerance/max_num_steps with an effectively-
+    unreachable 1e-10 driver setting; here an explicit, measured
+    threshold).  A chunk's round ends early once EVERY point's domain-
+    limited step norm falls below ``conv_tol`` (max-reduction over the
+    chunk — no point exits before its own convergence), but never
+    before the Polyak window holds ``num_steps_averaged`` rows, so the
+    returned average is always over a full trailing window.  With
+    ``conv_tol=None`` (default) the fixed-depth scan path runs and
+    results are bit-identical to previous behavior.
     """
     avg_n = max(int(params.num_steps_averaged), 0)
     use_avg = 0 < avg_n <= params.max_num_steps
@@ -263,14 +276,62 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
             xf = domain.clip(jnp.mean(traj[-avg_n:], axis=0))
         return xf, carry
 
+    def run_round_gated(x, carry, first_round):
+        """run_round with the conv_tol while-loop early exit.
+
+        Polyak averaging over a dynamic-length trajectory uses a
+        circular buffer of the last ``avg_n`` points; when no exit
+        fires the result matches run_round (same trailing window).
+        """
+        start_i = 1 if first_round else 0
+        width = max(avg_n, 1)
+        buf = jnp.zeros((width,) + x.shape, x.dtype)
+        rows0 = jnp.asarray(0, jnp.int32)
+        if first_round:
+            buf = buf.at[0].set(x)          # row 0 = the cold-step point
+            rows0 = jnp.asarray(1, jnp.int32)
+        # minimum rows before an exit may fire: a full averaging window
+        min_rows = width if use_avg else 1
+        axes = tuple(range(1, x.ndim))      # per-point step-norm axes
+
+        def cond(state):
+            i, _x, _carry, _buf, rows, norm = state
+            return (i < num_steps) & ((norm >= conv_tol) |
+                                      (rows < min_rows))
+
+        def body(state):
+            i, x, carry, buf, rows, _ = state
+            _, g, carry = bvg_warm(x, carry)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+            dx = domain.limit_update(params.max_relative_change, x,
+                                     alpha * g)
+            x_new = x + dx
+            buf = lax.dynamic_update_index_in_dim(
+                buf, x_new, rows % width, axis=0)
+            norm = jnp.max(jnp.sqrt(jnp.sum(dx * dx, axis=axes)))
+            return (i + 1.0, x_new, carry, buf, rows + 1, norm)
+
+        i0 = jnp.asarray(float(start_i), x.dtype)
+        state = (i0, x, carry, buf, rows0,
+                 jnp.asarray(jnp.inf, x.dtype))
+        _, xf, carry, buf, rows, _ = lax.while_loop(cond, body, state)
+        if use_avg:
+            # rows >= width here (min_rows gate), so the buffer holds
+            # exactly the last ``width`` trajectory rows
+            xf = domain.clip(jnp.mean(buf, axis=0))
+        return xf, carry
+
+    round_fn = run_round if conv_tol is None else run_round_gated
+
     def run_batch(starts):
         if num_steps == 0:        # cold semantics: no update at all
             return starts
         _, g0, carry = bvg_cold(starts)
         x = update(starts, g0, 0)
-        x, carry = run_round(x, carry, True)
+        x, carry = round_fn(x, carry, True)
         for _ in range(num_rounds - 1):
-            x, carry = run_round(x, carry, False)
+            x, carry = round_fn(x, carry, False)
         return x
 
     return _chunked_multistart(run_batch, lambda c: bvg_cold(c)[0],

@@ -193,6 +193,58 @@ def test_warm_multistart_chunked_matches_unchunked(rng):
                                rtol=1e-9, atol=1e-12)
 
 
+def test_warm_multistart_convergence_gate(rng):
+    """conv_tol gating: with an unreachable tolerance the while-loop path
+    is bit-identical to the fixed-depth scan path (incl. the circular
+    Polyak buffer); with a realistic tolerance it still lands within the
+    solver band of the ungated suggestion."""
+    state, x, y = _gp_1d(rng)
+    hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])
+    noises = np.full((2, 1), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x,
+                                  y[:, None])
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
+    rep = RepeatedDomain(domain=dom, num_repeats=2)
+    discrete = jnp.tile(jnp.linspace(-2, 2, 7)[None, :, None], (2, 1, 1))
+    normals = draw_antithetic_normals(jax.random.PRNGKey(5), 16, 2)
+    bsf = jnp.asarray([float(y.min())] * 2)
+    outer = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=12, max_num_restarts=2,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.4,
+        max_relative_change=0.5)
+    starts = rep.generate_latin_hypercube_points(jax.random.PRNGKey(2), 8)
+
+    def bvg_cold(pts):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts, discrete, normals, dom, INNER, bsf, 2)
+
+    def bvg_warm(pts, carry):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts, discrete, normals, dom, INNER_WARM, bsf, 2,
+            inner_x0=carry, warm_mode="reseed")
+
+    ungated = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, rep, starts, outer, chunk_size=4)
+    # conv_tol=0.0: norm >= 0 always -> gate can never fire; the
+    # while-loop must reproduce the scan exactly (f64 CPU, bit-level)
+    gated0 = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, rep, starts, outer, chunk_size=4,
+        conv_tol=0.0)
+    np.testing.assert_array_equal(np.asarray(ungated.all_points),
+                                  np.asarray(gated0.all_points))
+    np.testing.assert_array_equal(np.asarray(ungated.all_values),
+                                  np.asarray(gated0.all_values))
+    # realistic tolerance: early exit allowed after the Polyak window
+    # fills; the suggestion quality stays inside the solver band
+    gated = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, rep, starts, outer, chunk_size=4,
+        conv_tol=5e-3)
+    assert np.isfinite(float(gated.best_value))
+    np.testing.assert_allclose(float(gated.best_value),
+                               float(ungated.best_value),
+                               rtol=0.05, atol=3e-3)
+
+
 def test_driver_mcmc_multistart_warm_matches_cold(rng):
     """The production suggest endpoint with warm_start=True (default)
     returns a suggestion of the same cold-evaluated quality as
