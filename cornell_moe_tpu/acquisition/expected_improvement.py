@@ -117,13 +117,17 @@ def multistart_expected_improvement_optimization(
         points_being_sampled=None, best_so_far=None,
         num_mc_iterations: int = 1000,
         num_random_search: int = 0,
-        use_analytic: Optional[bool] = None) -> jax.Array:
+        use_analytic: Optional[bool] = None,
+        conv_tol=None) -> jax.Array:
     """Suggest the q best points to sample next by maximizing q,p-EI.
 
     Counterpart of ComputeOptimalPointsToSample (gpp_math.hpp:2010) +
     multistart_expected_improvement_optimization
     (cpp_wrappers/expected_improvement.py:22).  Analytic path for q=1, p=0
     (gpp_math.cpp:2196).  Returns (q, dim).
+
+    ``conv_tol``: optional per-start step-norm convergence gate on the
+    GD (see optimizers.gradient_ascent).
     """
     p = 0 if points_being_sampled is None else \
         jnp.atleast_2d(points_being_sampled).shape[0]
@@ -159,7 +163,8 @@ def multistart_expected_improvement_optimization(
         result = optimizers.multistart_optimize_with_dumb_search_fallback(
             vg, rep, starts, search, params)
     else:
-        result = optimizers.multistart_optimize(vg, rep, starts, params)
+        result = optimizers.multistart_optimize(vg, rep, starts, params,
+                                                conv_tol=conv_tol)
     return result.best_point
 
 
@@ -222,9 +227,15 @@ def multistart_expected_improvement_mcmc_optimization(
         key: jax.Array, states, domain, num_to_sample: int,
         params: optimizers.GradientDescentParameters,
         points_being_sampled=None, best_so_far=None,
-        num_mc_iterations: int = 1000) -> jax.Array:
+        num_mc_iterations: int = 1000,
+        conv_tol=None) -> jax.Array:
     """Suggest q points maximizing ensemble-averaged q,p-EI
-    (cpp_wrappers/expected_improvement_mcmc.py:21)."""
+    (cpp_wrappers/expected_improvement_mcmc.py:21).
+
+    ``conv_tol``: optional per-start step-norm convergence gate on the
+    GD (see optimizers.gradient_ascent); the KG seeding protocol passes
+    the driver's gate through here.
+    """
     from cornell_moe_tpu.ops.domains import RepeatedDomain
     if best_so_far is None:
         best_so_far = jax.vmap(lambda s: s.best_observed_value)(states)
@@ -244,7 +255,8 @@ def multistart_expected_improvement_mcmc_optimization(
                 states, q_pts, points_being_sampled, best_so_far,
                 normals))(pts)
 
-    res = optimizers.multistart_optimize(vg, rep, starts, params)
+    res = optimizers.multistart_optimize(vg, rep, starts, params,
+                                         conv_tol=conv_tol)
     return res.best_point
 
 

@@ -47,11 +47,11 @@ DEFAULT_SGD_PARAMS_RECOMMEND = optimizers.GradientDescentParameters(
 
 
 def _qei_suggest_arrays(key, state, domain, params, num_to_sample,
-                        num_mc):
+                        num_mc, conv_tol=None):
     """Jit-safe body of :func:`gen_sample_from_qei` (array outputs)."""
     pts = ei_mod.multistart_expected_improvement_optimization(
         key, state, domain, num_to_sample, params,
-        num_mc_iterations=num_mc)
+        num_mc_iterations=num_mc, conv_tol=conv_tol)
     key_eval = jax.random.fold_in(key, 1)
     voi = ei_mod.evaluate_expected_improvement_at_point_list(
         state, pts[None], key=key_eval, num_mc_iterations=num_mc)[0]
@@ -92,19 +92,23 @@ def gen_sample_from_qei_mcmc(key, states, domain, params, num_to_sample,
 def seed_kg_discretization(key, states, domain,
                            qei_params=None, ps_params=DEFAULT_SGD_PARAMS_PS,
                            num_qei_pts: int = 10, num_eval_pts: int = 1000,
-                           num_fidelity: int = 0, num_mc=2**10):
+                           num_fidelity: int = 0, num_mc=2**10,
+                           conv_tol=None):
     """Build per-model inner-optimization seeds for KG.
 
     Mirrors examples/main.py:170-200: 10 points from ensemble q-EI, plus
     each model's posterior-mean argmin (uniform eval points + sampled
     points, GD-polished).  Returns (S, num_qei_pts + 1, dim_opt).
+
+    ``conv_tol``: optional per-start step-norm gate on the q-EI GD (the
+    dominant seeding cost at small shapes); see optimizers.gradient_ascent.
     """
     if qei_params is None:
         qei_params = DEFAULT_SGD_PARAMS_KG
     k_ei, k_eval = jax.random.split(key)
-    discrete, _ = _qei_mcmc_suggest_arrays(k_ei, states, domain,
-                                           qei_params, num_qei_pts,
-                                           num_mc)
+    discrete = ei_mod.multistart_expected_improvement_mcmc_optimization(
+        k_ei, states, domain, num_qei_pts, qei_params,
+        num_mc_iterations=num_mc, conv_tol=conv_tol)
     dim = states.points_sampled.shape[-1]
     dim_opt = dim - num_fidelity
     inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
@@ -194,11 +198,14 @@ class BayesianOptimizer:
     # pad num_sampled to multiples of this so retraining and suggesting
     # reuse compiled programs across iterations (0 = off)
     shape_bucket: int = 16
-    # optional convergence gate for the warm KG outer GD (step-norm
-    # early exit per chunk, gpp_optimization.hpp:667-671 semantics);
-    # None = fixed-depth.  3e-3 measured equal-suggestion at 2x less
-    # wall on the bench problem (benchmarks/SWEEP_r03.md)
-    suggest_conv_tol: Optional[float] = None
+    # convergence gate for the warm KG outer GD (step-norm early exit
+    # per chunk, gpp_optimization.hpp:667-671 semantics); None = the
+    # fixed-depth schedule.  The default 3e-3 keeps the reference's
+    # full 2x50 outer schedule as the CAP and exits each chunk at its
+    # measured convergence: same suggested points as ungated on the
+    # 500-obs bench sweep (benchmarks/SWEEP_r03.md) and an
+    # equal-quality Branin transcript (docs/branin_transcript.md)
+    suggest_conv_tol: Optional[float] = 3e-3
 
     def __post_init__(self):
         from cornell_moe_tpu.config import enable_compilation_cache
@@ -261,6 +268,12 @@ class BayesianOptimizer:
             return prog
         if self.method == "KG":
             def run(k_seed, k_sugg, states):
+                # the seeding q-EI stays UNGATED: its GD is vmapped
+                # per-start, where the batched while_loop masks lanes
+                # until the slowest converges — measured SLOWER than the
+                # fixed scan at transcript shape (0.63 vs 0.57 s,
+                # benchmarks/profile_driver_suggest.py); the gate's win
+                # is the chunk-reduced batched KG outer loop
                 discrete = seed_kg_discretization(
                     k_seed, states, self.domain,
                     qei_params=self.sgd_params,
@@ -273,6 +286,9 @@ class BayesianOptimizer:
                     conv_tol=self.suggest_conv_tol)
         elif self.method == "EI":
             def run(k_sugg, states):
+                # ungated for the same reason as the seeding q-EI above
+                # (vmapped per-start GD; conv_tol plumbing available to
+                # callers who measure a win on their problem)
                 member = mcmc_mod.ensemble_member(states, 0)
                 return _qei_suggest_arrays(
                     k_sugg, member, self.domain, self.sgd_params,

@@ -63,16 +63,42 @@ class MultistartResult(NamedTuple):
     all_values: jax.Array       # (num_starts,)
 
 
+def _trailing_window_mean(buf: jax.Array, rows: jax.Array,
+                          width: int) -> jax.Array:
+    """Mean of a circular trajectory buffer in TRAJECTORY order.
+
+    ``rows % width`` is the next write slot == the oldest row; rolling it
+    to the front makes the summation order identical to the scan path's
+    ``mean(traj[-width:])``, so gated runs that never exit early are
+    bit-identical to the fixed-depth runs regardless of how the buffer
+    happens to be rotated.
+    """
+    ordered = jnp.roll(buf, -(rows % width), axis=0)
+    return jnp.mean(ordered, axis=0)
+
+
 def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
-                    params: GradientDescentParameters) -> jax.Array:
+                    params: GradientDescentParameters,
+                    conv_tol: Optional[float] = None) -> jax.Array:
     """One restarted GD trajectory from x0; returns the final point.
 
     ``value_and_grad_fn(x) -> (value, grad)``; only the grad is used inside
     the loop (matching the reference, which never evaluates the objective
     during descent).  The domain may be a RepeatedDomain for q-point blocks.
+
+    ``conv_tol``: optional step-norm convergence gate (the C++ GD's
+    tolerance-exit, gpp_optimization.hpp:641,667-671): a round ends once
+    the domain-limited step norm falls below the threshold, but never
+    before the trailing Polyak window holds ``num_steps_averaged`` rows.
+    Under vmap the while_loop batches with per-lane masking, so each
+    start exits on its own schedule (converged lanes freeze).  With
+    ``conv_tol=None`` the fixed-depth scan path runs, bit-identical to
+    previous behavior.
     """
     avg_n = max(int(params.num_steps_averaged), 0)
     use_avg = 0 < avg_n <= params.max_num_steps
+    num_steps = int(params.max_num_steps)
+    num_rounds = max(int(params.max_num_restarts), 1)
 
     def one_round(x, _):
         def step(carry, i):
@@ -91,8 +117,47 @@ def gradient_ascent(value_and_grad_fn: Callable, domain, x0: jax.Array,
             x_final = domain.clip(x_final)
         return x_final, None
 
-    x, _ = lax.scan(one_round, x0, None, length=max(
-        int(params.max_num_restarts), 1))
+    if conv_tol is None:
+        x, _ = lax.scan(one_round, x0, None, length=num_rounds)
+        return x
+
+    # Gated variant: circular Polyak buffer over a dynamic-length
+    # trajectory (same scheme as gradient_ascent_batch's gated round).
+    width = max(avg_n, 1)
+    min_rows = width if use_avg else 1
+
+    def one_round_gated(x):
+        buf = jnp.zeros((width,) + x.shape, x.dtype) + (x * 0)[None]
+
+        def cond(state):
+            i, _x, _buf, rows, norm = state
+            return (i < num_steps) & ((norm >= conv_tol) |
+                                      (rows < min_rows))
+
+        def body(state):
+            i, x, buf, rows, _ = state
+            _, g = value_and_grad_fn(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+            dx = domain.limit_update(params.max_relative_change, x,
+                                     alpha * g)
+            x_new = x + dx
+            buf = lax.dynamic_update_index_in_dim(
+                buf, x_new, rows % width, axis=0)
+            norm = jnp.sqrt(jnp.sum(dx * dx))
+            return (i + 1.0, x_new, buf, rows + 1, norm)
+
+        norm0 = jnp.asarray(jnp.inf, x.dtype) + jnp.sum(x) * 0
+        state = (jnp.asarray(0.0, x.dtype), x, buf,
+                 jnp.asarray(0, jnp.int32), norm0)
+        _, xf, buf, rows, _ = lax.while_loop(cond, body, state)
+        if use_avg:
+            xf = domain.clip(_trailing_window_mean(buf, rows, width))
+        return xf
+
+    x = x0
+    for _ in range(num_rounds):
+        x = one_round_gated(x)
     return x
 
 
@@ -143,7 +208,8 @@ def gradient_ascent_line_search(value_and_grad_fn: Callable, domain,
 
 def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
                           x0: jax.Array,
-                          params: GradientDescentParameters) -> jax.Array:
+                          params: GradientDescentParameters,
+                          conv_tol: Optional[float] = None) -> jax.Array:
     """Restarted GD on a whole batch of starts at once.
 
     ``batched_value_and_grad((B, ...)) -> ((B,), (B, ...))``.  Unlike
@@ -151,9 +217,19 @@ def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
     matmuls, which lets fused implementations use full MXU tiles (the
     KG union-precompute becomes one wide matmul instead of B thin ones).
     Semantics identical to the vmapped path.
+
+    ``conv_tol``: optional step-norm convergence gate (the C++ GD's
+    tolerance-exit semantics, gpp_optimization.hpp:641,667-671): a round
+    ends once EVERY point's domain-limited step norm falls below the
+    threshold (max-reduction over the batch), but never before the
+    trailing Polyak window holds ``num_steps_averaged`` rows.  With
+    ``conv_tol=None`` the fixed-depth scan path runs, bit-identical to
+    previous behavior.
     """
     avg_n = max(int(params.num_steps_averaged), 0)
     use_avg = 0 < avg_n <= params.max_num_steps
+    num_steps = int(params.max_num_steps)
+    num_rounds = max(int(params.max_num_restarts), 1)
 
     def one_round(x, _):
         def step(carry, i):
@@ -172,8 +248,51 @@ def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
             x_final = domain.clip(x_final)
         return x_final, None
 
-    x, _ = lax.scan(one_round, x0, None, length=max(
-        int(params.max_num_restarts), 1))
+    if conv_tol is None:
+        x, _ = lax.scan(one_round, x0, None, length=num_rounds)
+        return x
+
+    # Gated variant: circular Polyak buffer over a dynamic-length
+    # trajectory (same scheme as multistart_optimize_batched_warm's
+    # run_round_gated); when no exit fires the result matches the scan
+    # path exactly.  Buffer/norm are derived from x so their varying-
+    # axis types survive shard_map.
+    width = max(avg_n, 1)
+    min_rows = width if use_avg else 1
+    axes = tuple(range(1, x0.ndim))
+
+    def one_round_gated(x):
+        buf = jnp.zeros((width,) + x.shape, x.dtype) + (x * 0)[None]
+
+        def cond(state):
+            i, _x, _buf, rows, norm = state
+            return (i < num_steps) & ((norm >= conv_tol) |
+                                      (rows < min_rows))
+
+        def body(state):
+            i, x, buf, rows, _ = state
+            _, g = batched_value_and_grad(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = params.pre_mult * (i + 1.0) ** (-params.gamma)
+            dx = domain.limit_update(params.max_relative_change, x,
+                                     alpha * g)
+            x_new = x + dx
+            buf = lax.dynamic_update_index_in_dim(
+                buf, x_new, rows % width, axis=0)
+            norm = jnp.max(jnp.sqrt(jnp.sum(dx * dx, axis=axes)))
+            return (i + 1.0, x_new, buf, rows + 1, norm)
+
+        norm0 = jnp.asarray(jnp.inf, x.dtype) + jnp.sum(x) * 0
+        state = (jnp.asarray(0.0, x.dtype), x, buf,
+                 jnp.asarray(0, jnp.int32), norm0)
+        _, xf, buf, rows, _ = lax.while_loop(cond, body, state)
+        if use_avg:
+            xf = domain.clip(_trailing_window_mean(buf, rows, width))
+        return xf
+
+    x = x0
+    for _ in range(num_rounds):
+        x = one_round_gated(x)
     return x
 
 
@@ -203,12 +322,17 @@ def _chunked_multistart(run_batch: Callable, value_fn: Callable,
 def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
                                 initial_points: jax.Array,
                                 params: GradientDescentParameters,
-                                chunk_size: Optional[int] = None
+                                chunk_size: Optional[int] = None,
+                                conv_tol: Optional[float] = None
                                 ) -> MultistartResult:
-    """Multistart GD with a batched objective (see gradient_ascent_batch)."""
+    """Multistart GD with a batched objective (see gradient_ascent_batch).
+
+    ``conv_tol``: optional per-chunk step-norm convergence gate; see
+    :func:`gradient_ascent_batch`.
+    """
     def run_batch(starts):
         return gradient_ascent_batch(batched_value_and_grad, domain,
-                                     starts, params)
+                                     starts, params, conv_tol=conv_tol)
 
     return _chunked_multistart(run_batch,
                                lambda c: batched_value_and_grad(c)[0],
@@ -285,7 +409,11 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
         """
         start_i = 1 if first_round else 0
         width = max(avg_n, 1)
-        buf = jnp.zeros((width,) + x.shape, x.dtype)
+        # derive the zero buffer and the +inf initial norm from x so
+        # their varying-axis type matches the body outputs when this
+        # runs device-local under shard_map (see the sharded warm
+        # multistart in parallel/sharding.py)
+        buf = jnp.zeros((width,) + x.shape, x.dtype) + (x * 0)[None]
         rows0 = jnp.asarray(0, jnp.int32)
         if first_round:
             buf = buf.at[0].set(x)          # row 0 = the cold-step point
@@ -313,13 +441,13 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
             return (i + 1.0, x_new, carry, buf, rows + 1, norm)
 
         i0 = jnp.asarray(float(start_i), x.dtype)
-        state = (i0, x, carry, buf, rows0,
-                 jnp.asarray(jnp.inf, x.dtype))
+        norm0 = jnp.asarray(jnp.inf, x.dtype) + jnp.sum(x) * 0
+        state = (i0, x, carry, buf, rows0, norm0)
         _, xf, carry, buf, rows, _ = lax.while_loop(cond, body, state)
         if use_avg:
             # rows >= width here (min_rows gate), so the buffer holds
             # exactly the last ``width`` trajectory rows
-            xf = domain.clip(jnp.mean(buf, axis=0))
+            xf = domain.clip(_trailing_window_mean(buf, rows, width))
         return xf, carry
 
     round_fn = run_round if conv_tol is None else run_round_gated
@@ -342,7 +470,8 @@ def multistart_optimize(value_and_grad_fn: Callable, domain,
                         initial_points: jax.Array,
                         params: GradientDescentParameters,
                         value_fn: Optional[Callable] = None,
-                        chunk_size: Optional[int] = None
+                        chunk_size: Optional[int] = None,
+                        conv_tol: Optional[float] = None
                         ) -> MultistartResult:
     """vmapped multistart GD with argmax reduction.
 
@@ -353,6 +482,10 @@ def multistart_optimize(value_and_grad_fn: Callable, domain,
     ``chunk_size``: when set (and dividing num_starts), restarts run in
     sequential chunks of that width via lax.map — same results, bounded
     peak memory for very wide multistarts over expensive objectives.
+
+    ``conv_tol``: optional per-start step-norm convergence gate; see
+    :func:`gradient_ascent` (the vmapped while_loop masks per lane, so
+    each start exits on its own schedule).
     """
     if value_fn is None:
         def value_fn(x):
@@ -361,7 +494,7 @@ def multistart_optimize(value_and_grad_fn: Callable, domain,
     def run_batch(starts):
         return jax.vmap(
             lambda x0: gradient_ascent(value_and_grad_fn, domain, x0,
-                                       params))(starts)
+                                       params, conv_tol=conv_tol))(starts)
 
     n = initial_points.shape[0]
     if chunk_size and n % chunk_size == 0 and n > chunk_size:

@@ -125,6 +125,48 @@ def sharded_multistart_optimize_batched(
         all_points=finals, all_values=values)
 
 
+def sharded_multistart_optimize_batched_warm(
+        bvg_cold: Callable, bvg_warm: Callable, domain,
+        initial_points: jax.Array,
+        params: optimizers.GradientDescentParameters, mesh: Mesh,
+        axis_name: str = "restarts", chunk_size: Optional[int] = None,
+        conv_tol: Optional[float] = None) -> optimizers.MultistartResult:
+    """Sharded counterpart of :func:`optimizers.multistart_optimize_batched_warm`.
+
+    The PRODUCTION suggest program (warm-started inner descents +
+    optional convergence gate) scaled out over the restart axis: each
+    device runs the warm chunked solver on its shard, so the inner-
+    problem carry and the per-chunk step-norm gate stay device-local
+    and the only collective is the final argmax gather.
+
+    Exact sharded==single equivalence holds when ``chunk_size`` equals
+    the per-device shard size (the gate's max-reduction then spans the
+    same start groups in both programs); smaller chunk sizes divide each
+    shard further and still match a single-device run using the same
+    chunking.  Defaults to one chunk per device shard.
+    """
+    n_dev = mesh.shape[axis_name]
+    padded, n_valid = pad_to_multiple(initial_points, n_dev)
+
+    def local_shard(starts):
+        res = optimizers.multistart_optimize_batched_warm(
+            bvg_cold, bvg_warm, domain, starts, params,
+            chunk_size=chunk_size, conv_tol=conv_tol)
+        return res.all_points, res.all_values
+
+    finals, values = jax.shard_map(
+        local_shard, mesh=mesh, in_specs=P(axis_name),
+        out_specs=P(axis_name))(padded)
+
+    values = values[:n_valid]
+    finals = finals[:n_valid]
+    safe = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe)
+    return optimizers.MultistartResult(
+        best_point=finals[best], best_value=values[best],
+        all_points=finals, all_values=values)
+
+
 def sharded_point_evaluation(value_fn: Callable, points: jax.Array,
                              mesh: Mesh, axis_name: str = "restarts"
                              ) -> jax.Array:

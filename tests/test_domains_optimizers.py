@@ -265,3 +265,77 @@ def test_warm_multistart_outer_gd_matches_cold_exactly():
         bvg_cold, bvg_warm, dom, starts, p_zero)
     np.testing.assert_array_equal(np.asarray(frozen.all_points),
                                   np.asarray(starts))
+
+
+def test_gated_batched_multistart_matches_scan_exactly():
+    """conv_tol gating on the cold batched multistart: an unreachable
+    tolerance (0.0) must reproduce the fixed-depth scan path bit-exactly
+    (incl. the circular Polyak buffer); a loose tolerance exits early but
+    still solves the quadratic."""
+    rng = np.random.default_rng(4)
+    dom = TensorProductDomain.from_bounds([[-1.5, 2.0], [-2.0, 1.0]])
+    target = jnp.asarray([0.3, -0.4])
+
+    def vg(x):
+        v = -jnp.sum((x - target) ** 2, axis=-1)
+        return v, -2.0 * (x - target)
+
+    starts = jnp.asarray(rng.uniform(-1.5, 1.0, size=(6, 2)))
+    p = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=12, max_num_restarts=2,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+
+    ungated = optimizers.multistart_optimize_batched(vg, dom, starts, p)
+    gated0 = optimizers.multistart_optimize_batched(vg, dom, starts, p,
+                                                    conv_tol=0.0)
+    np.testing.assert_array_equal(np.asarray(ungated.all_points),
+                                  np.asarray(gated0.all_points))
+
+    gated = optimizers.multistart_optimize_batched(vg, dom, starts, p,
+                                                   conv_tol=1e-2)
+    np.testing.assert_allclose(np.asarray(gated.best_point),
+                               np.asarray(target), atol=0.05)
+
+    # no-averaging config exercises the width-1 buffer corner
+    p_noavg = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=12, max_num_restarts=1,
+        num_steps_averaged=0, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    u2 = optimizers.multistart_optimize_batched(vg, dom, starts, p_noavg)
+    g2 = optimizers.multistart_optimize_batched(vg, dom, starts, p_noavg,
+                                                conv_tol=0.0)
+    np.testing.assert_array_equal(np.asarray(u2.all_points),
+                                  np.asarray(g2.all_points))
+
+
+def test_gated_vmapped_multistart_matches_scan_exactly():
+    """conv_tol gating on the vmapped per-start GD (the q-EI seeding
+    path): conv_tol=0.0 is bit-identical to the scan; a realistic
+    tolerance exits per lane (vmapped while_loop masking) and still
+    solves the quadratic."""
+    rng = np.random.default_rng(5)
+    dom = TensorProductDomain.from_bounds([[-1.5, 2.0], [-2.0, 1.0]])
+    target = jnp.asarray([0.3, -0.4])
+
+    def vg(x):
+        return -jnp.sum((x - target) ** 2), -2.0 * (x - target)
+
+    starts = jnp.asarray(rng.uniform(-1.5, 1.0, size=(7, 2)))
+    p = optimizers.GradientDescentParameters(
+        num_multistarts=7, max_num_steps=15, max_num_restarts=2,
+        num_steps_averaged=4, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+
+    ungated = optimizers.multistart_optimize(vg, dom, starts, p)
+    gated0 = optimizers.multistart_optimize(vg, dom, starts, p,
+                                            conv_tol=0.0)
+    np.testing.assert_array_equal(np.asarray(ungated.all_points),
+                                  np.asarray(gated0.all_points))
+    np.testing.assert_array_equal(np.asarray(ungated.all_values),
+                                  np.asarray(gated0.all_values))
+
+    gated = optimizers.multistart_optimize(vg, dom, starts, p,
+                                           conv_tol=1e-2)
+    np.testing.assert_allclose(np.asarray(gated.best_point),
+                               np.asarray(target), atol=0.05)

@@ -151,3 +151,68 @@ def test_sharded_batched_kg_matches_single_device(rng):
                                np.asarray(single.all_values), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(sharded.best_point),
                                np.asarray(single.best_point), rtol=1e-12)
+
+
+def test_sharded_warm_gated_kg_matches_single_device(rng):
+    """The round-3 PRODUCTION suggest program — warm-started inner
+    descents (reseed mode) + the per-chunk step-norm convergence gate —
+    sharded over the mesh must match the single-device result exactly
+    (chunk_size == per-device shard size, so the gate's max-reduction
+    spans identical start groups in both programs)."""
+    from cornell_moe_tpu.acquisition import knowledge_gradient as kg_mod
+    from cornell_moe_tpu.acquisition.expected_improvement import (
+        draw_antithetic_normals)
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    from cornell_moe_tpu.ops.domains import RepeatedDomain
+
+    n, d, s_ens, q, n_mc = 14, 2, 4, 2, 8
+    x = rng.random((n, d))
+    y = np.sin(3 * x[:, 0]) + x[:, 1] ** 2
+    hypers = np.abs(rng.standard_normal((s_ens, 1 + d))) + 0.7
+    noises = np.full((s_ens, 1), 1e-3)
+    states = mcmc_mod.fit_gp_ensemble(
+        "matern_2.5", jnp.asarray(hypers), jnp.asarray(noises),
+        jnp.asarray(x), jnp.asarray(y)[:, None])
+    domain = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    rep = RepeatedDomain(domain=domain, num_repeats=q)
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=16, max_num_steps=6, max_num_restarts=2,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    inner = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=3, max_num_restarts=1,
+        num_steps_averaged=2, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    inner_warm = optimizers.GradientDescentParameters(
+        num_multistarts=1, max_num_steps=1, max_num_restarts=1,
+        num_steps_averaged=0, gamma=0.0, pre_mult=1.0,
+        max_relative_change=0.1)
+    discrete = jnp.asarray(rng.random((s_ens, 5, d)))
+    bsf = jnp.full((s_ens,), float(y.min()))
+    normals = draw_antithetic_normals(jax.random.PRNGKey(3), n_mc, q)
+    starts = rep.generate_latin_hypercube_points(
+        jax.random.PRNGKey(4), params.num_multistarts)
+
+    def bvg_cold(pts_batch):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts_batch, discrete, normals, domain, inner, bsf, q)
+
+    def bvg_warm(pts_batch, carry):
+        return kg_mod.knowledge_gradient_mcmc_batch_vg_carry(
+            states, pts_batch, discrete, normals, domain, inner_warm,
+            bsf, q, inner_x0=carry, warm_mode="reseed")
+
+    single = optimizers.multistart_optimize_batched_warm(
+        bvg_cold, bvg_warm, rep, starts, params, chunk_size=2,
+        conv_tol=3e-3)
+
+    mesh = shard_mod.default_mesh(8)
+    sharded = jax.jit(
+        lambda st: shard_mod.sharded_multistart_optimize_batched_warm(
+            bvg_cold, bvg_warm, rep, st, params, mesh, chunk_size=2,
+            conv_tol=3e-3))(starts)
+
+    np.testing.assert_allclose(np.asarray(sharded.all_values),
+                               np.asarray(single.all_values), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.all_points),
+                               np.asarray(single.all_points), rtol=1e-12)
