@@ -342,9 +342,11 @@ def main(small: bool = False):
             bsf_b, q_b, inner_x0=carry, warm_mode="reseed")
 
     def qkg_ref_suggest(starts):
+        # production solver settings: warm reseed + the 3e-3 step-norm
+        # convergence gate (the bench.py / driver defaults)
         res = optimizers.multistart_optimize_batched_warm(
             bvg_cold_b, bvg_warm_b, rep_b, starts, outer_b,
-            chunk_size=25 if not small else None)
+            chunk_size=25 if not small else None, conv_tol=3e-3)
         return res.best_point
 
     starts_b = rep_b.generate_latin_hypercube_points(
