@@ -85,7 +85,13 @@ def monte_carlo_expected_improvement(state: GaussianProcessState,
 
     mu = gp.posterior_mean(state, union)[:, 0]
     var = gp.posterior_variance(state, union)
-    chol = linalg.cholesky(var, jitter=config.EI_VARIANCE_JITTER)
+    # unrolled tiny-Cholesky: XLA's batched LAPACK-style lowering is
+    # latency-bound at (q+p) <= 16 and cost 3.9 of the 5.9 ms per
+    # multistart-GD step on the seeding q-EI (fwd+bwd, 200 starts x 16
+    # models; benchmarks/profile_qei.py) — the unroll fuses into the
+    # surrounding elementwise graph and autodiffs as plain ops
+    chol = linalg.cholesky_small(
+        linalg.add_jitter(var, config.EI_VARIANCE_JITTER))
     samples = mu[None, :] + normals @ chol.T            # (n_mc, q+p)
     improvement = jnp.maximum(best_so_far - jnp.min(samples, axis=1), 0.0)
     return jnp.mean(improvement)
