@@ -155,33 +155,41 @@ def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
         c0 = b * sb
         d0 = a_scr[:, c0:c0 + sb, c0:c0 + sb]        # (wb, 32, 32)
 
+        # Column update in reciprocal form: one rsqrt replaces the
+        # sqrt + two divides (VPU divides are multi-pass), and the
+        # pivot carry is gone entirely — diag(L11^-1) = 1/diag(L11),
+        # so logdet is read off `inv` after the loop.  The column loop
+        # body is unrolled 2x (col2) to halve the Mosaic fori_loop
+        # per-iteration overhead on this latency-bound chain.
         def col(j, carry):
-            dmat, rres, inv, dp = carry
+            dmat, rres, inv = carry
             onehot = (iota32 == j).astype(jnp.float32)
             below = (iota32 > j).astype(jnp.float32)
             cj = jnp.sum(dmat * onehot[None, None, :], axis=2)
             dsq = jnp.sum(cj * onehot[None, :], axis=1)
-            dpiv = jnp.sqrt(dsq)
-            lcol = cj * below[None, :] / dpiv[:, None]
-            dp = dp + onehot[None, :] * dpiv[:, None]
+            rpiv = jax.lax.rsqrt(dsq)
+            lcol = cj * below[None, :] * rpiv[:, None]
             rj = jnp.sum(rres * onehot[None, :, None], axis=1)
-            sj = rj / dpiv[:, None]
+            sj = rj * rpiv[:, None]
             inv = inv + onehot[None, :, None] * sj[:, None, :]
             rres = rres - lcol[:, :, None] * sj[:, None, :]
             dmat = dmat - lcol[:, :, None] * lcol[:, None, :]
-            return (dmat, rres, inv, dp)
+            return (dmat, rres, inv)
 
-        _, _, inv, dp = jax.lax.fori_loop(
-            0, sb, col,
+        def col2(j2, carry):
+            return col(2 * j2 + 1, col(2 * j2, carry))
+
+        _, _, inv = jax.lax.fori_loop(
+            0, sb // 2, col2,
             (d0, jnp.broadcast_to(eye32[None], (wb, sb, sb)),
-             jnp.zeros((wb, sb, sb), jnp.float32),
-             jnp.zeros((wb, sb), jnp.float32)))
+             jnp.zeros((wb, sb, sb), jnp.float32)))
 
         yblk = y_scr[:, c0:c0 + sb]                  # (wb, 32)
         z = jnp.sum(inv * yblk[:, None, :], axis=2)  # z = L11^-1 y_blk
         mask = ((c0 + iota32) < n_real).astype(jnp.float32)
         quad = quad + jnp.sum(z * z * mask[None], axis=1)
-        logdet = logdet + jnp.sum(jnp.log(dp) * mask[None], axis=1)
+        rdiag = jnp.sum(inv * eye32[None], axis=2)   # 1 / diag(L11)
+        logdet = logdet - jnp.sum(jnp.log(rdiag) * mask[None], axis=1)
 
         if c0 + sb < np_:
             for w in range(wb):
