@@ -2,7 +2,7 @@
 the TPU tunnel to validate the Mosaic lowering) vs numpy, plus a
 chain-shaped timing probe vs the XLA path.
 
-Round-3 v5e numbers: fused 0.788 ms vs XLA 1.502 ms per (W=8, 512)
+Round-3 v5e numbers: fused 0.743 ms vs XLA 1.53 ms per (W=8, 512)
 build+chol+solve+logdet (the XLA line excludes its ~0.24 ms K build; the
 fused kernel includes it).  A panel-hybrid intermediate (Pallas panel
 factor+inverse, XLA trailing updates) measured 1.15 ms and was removed.

@@ -10,7 +10,7 @@ Three kernel families, each targeting a measured hot spot:
   larger builds use the XLA builder.)
 * ``pallas_lml_fused`` — the MCMC chain's batched LML: K build +
   depth-2 blocked Cholesky + forward substitution + logdet in one
-  program per walker batch (0.79 ms vs XLA's 1.50 ms at (8, 512), K
+  program per walker batch (0.74 ms vs XLA's 1.50 ms at (8, 512), K
   build included).  A panel-hybrid splitting Pallas panels from XLA
   trailing updates measured 1.15 ms and was removed once this landed.
 * ``pallas_descent_run`` / ``pallas_descent_grad`` — the KG inner
@@ -119,7 +119,7 @@ def pallas_covariance_with_noise_full(points: jax.Array,
 # algebra op (no dynamic indexing anywhere), the idioms the working
 # descent/panel kernels already established.
 
-_LML_SB = 32      # inner block width (v5e sweep: 16 compile-heavy, 32 -> 0.79 ms, 64 -> 0.89 ms)
+_LML_SB = 32      # inner block width (v5e sweep: 16 -> 0.93 ms, 32 -> 0.74 ms, 64 -> 0.89 ms)
 
 
 def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
