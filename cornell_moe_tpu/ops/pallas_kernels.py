@@ -192,9 +192,17 @@ def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
         logdet = logdet - jnp.sum(jnp.log(rdiag) * mask[None], axis=1)
 
         if c0 + sb < np_:
+            # t = L11^-T z, batched over walkers on the VPU, so the
+            # trailing y update a21 @ t rides the L21 dot as one extra
+            # output column instead of costing a third MXU dot per
+            # walker (the trailing dots are issue-bound, not FLOP-bound:
+            # sb=16's doubled dot count measured 0.93 ms vs 0.74 ms).
+            t = jnp.sum(inv * z[:, :, None], axis=1)         # (wb, 32)
             for w in range(wb):
                 a21 = a_scr[w, c0 + sb:, c0:c0 + sb]         # (rem, 32)
                 # L21 = A21 L11^-T: contract a21 cols with inv cols
+                # (row 32 of the stacked operand carries t, so column
+                # 32 of the output is the y-forward-substitution term).
                 # Explicit precision: the MXU's default bf16 multiplies
                 # carry ~1e-2 relative error, enough to drive trailing
                 # Schur diagonals negative -> sqrt NaN (the round-2
@@ -202,12 +210,14 @@ def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
                 # single-panel case worked because it had no trailing
                 # dots).  HIGHEST = bf16x6; Mosaic rejects HIGH, and the
                 # MXU passes are not the bottleneck here anyway
-                # (0.788 ms total vs XLA's 1.502 ms at (8, 512)).
-                l21 = jax.lax.dot_general(
-                    a21, inv[w],
+                # (0.74 ms total vs XLA's 1.50 ms at (8, 512)).
+                invt = jnp.concatenate([inv[w], t[w][None, :]], axis=0)
+                l21e = jax.lax.dot_general(
+                    a21, invt,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (rem, 32)
+                    preferred_element_type=jnp.float32)      # (rem, 33)
+                l21 = l21e[:, :sb]
                 upd = jax.lax.dot_general(
                     l21, l21,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -215,12 +225,7 @@ def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
                     preferred_element_type=jnp.float32)      # (rem, rem)
                 a_scr[w, c0 + sb:, c0 + sb:] = \
                     a_scr[w, c0 + sb:, c0 + sb:] - upd
-                ydot = jax.lax.dot_general(
-                    l21, z[w][:, None],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (rem, 1)
-                y_scr[w, c0 + sb:] = y_scr[w, c0 + sb:] - ydot[:, 0]
+                y_scr[w, c0 + sb:] = y_scr[w, c0 + sb:] - l21e[:, sb]
 
     quad_ref[0, 0, :] = quad
     logdet_ref[0, 0, :] = logdet
