@@ -1,0 +1,152 @@
+"""Round-4 sample-efficiency head-to-heads where KG should win (verdict
+item 6): derivative observations (d-KG) and continuous fidelity (cf-KG).
+
+(a) BraninWithDerivatives (value + both partials observed,
+    examples/synthetic_functions.py:35-47 in the reference): d-KG
+    (fantasy includes derivative channels, the reference's configuration
+    — gpp_python_knowledge_gradient_mcmc.cpp:120) vs value-only-fantasy
+    KG vs q-EI, all on the SAME derivative-trained GP ensemble, >= 5
+    seeds, shared initial designs per seed.
+
+(b) BraninFidelity (2d + 1 fidelity dim, cost = fidelity product):
+    cf-KG (the driver's capital accounting) vs full-fidelity q-KG on
+    plain Branin at EQUAL CAPITAL — the cf-KG paper's claim is better
+    best-found per unit cost.
+
+Writes one JSON line per campaign plus mean +/- spread summaries.
+Collect stdout into benchmarks/SAMPLE_EFF_r04.json.
+
+Usage: python benchmarks/sample_efficiency_r04.py [a|b] [--small]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+TRUE_MIN = 0.397887
+
+
+def run_part_a(small: bool):
+    from cornell_moe_tpu import bayes_opt as bo_mod
+    from cornell_moe_tpu.utils import synthetic_functions as sf
+
+    seeds = [0] if small else [0, 1, 2, 3, 4]
+    iters = 2 if small else 10
+    methods = [
+        ("dKG", "KG", True),        # fantasy spans derivative channels
+        ("KG-value", "KG", False),  # value-only fantasies
+        ("EI", "EI", True),
+    ]
+    finals = {name: [] for name, _, _ in methods}
+    trajs = {name: [] for name, _, _ in methods}
+    for name, method, sample_derivs in methods:
+        for seed in seeds:
+            bo = bo_mod.BayesianOptimizer(
+                objective_func=sf.BraninWithDerivatives(), method=method,
+                num_to_sample=4, n_hypers=16,
+                chain_length=100 if small else 1000,
+                burnin_steps=200 if small else 2000,
+                noisy=False, verbose=False, seed=seed,
+                kg_sample_derivatives=sample_derivs)
+            t0 = time.time()
+            history = bo.run(num_iterations=iters, num_init_pts=12)
+            traj = [round(h["true_value"], 6) for h in history]
+            best_traj = list(np.minimum.accumulate(traj))
+            finals[name].append(best_traj[-1])
+            trajs[name].append(best_traj)
+            print(json.dumps({
+                "problem": "BraninWithDerivatives", "method": name,
+                "seed": seed,
+                "recommended_true_value_per_iteration": traj,
+                "best_so_far": best_traj,
+                "wall_s": round(time.time() - t0, 1)}), flush=True)
+    summary = {
+        "metric": f"final gap to true min, BraninWithDerivatives, "
+                  f"{iters} iters x q=4, {len(seeds)} seeds "
+                  f"(mean +/- std over seeds)"}
+    for name in finals:
+        gaps = np.asarray(finals[name]) - TRUE_MIN
+        summary[name] = {
+            "mean_gap": round(float(gaps.mean()), 5),
+            "std_gap": round(float(gaps.std()), 5),
+            "per_seed": [round(float(g), 5) for g in gaps],
+        }
+        curve = np.asarray(trajs[name]) - TRUE_MIN
+        summary[name]["mean_curve"] = [
+            round(float(v), 5) for v in curve.mean(axis=0)]
+    print(json.dumps(summary), flush=True)
+
+
+def run_part_b(small: bool):
+    from cornell_moe_tpu import bayes_opt as bo_mod
+    from cornell_moe_tpu.utils import synthetic_functions as sf
+
+    seeds = [0] if small else [0, 1, 2, 3, 4]
+    capital_budget = 2.0 if small else 8.0
+    results = {"cfKG": [], "KG-full-fidelity": []}
+    curves = {"cfKG": [], "KG-full-fidelity": []}
+    for label, objective, method in (
+            ("cfKG", sf.BraninFidelity, "KG"),
+            ("KG-full-fidelity", sf.Branin, "KG")):
+        for seed in seeds:
+            bo = bo_mod.BayesianOptimizer(
+                objective_func=objective(), method=method,
+                num_to_sample=4, n_hypers=16,
+                chain_length=100 if small else 1000,
+                burnin_steps=200 if small else 2000,
+                noisy=False, verbose=False, seed=seed)
+            bo.initialize(num_init_pts=12)
+            t0 = time.time()
+            curve = []          # (capital, best recommended true value)
+            best = np.inf
+            it = 0
+            while True:
+                pts, voi = bo.suggest()
+                bo.observe(pts)
+                if bo.num_fidelity == 0:
+                    # full-fidelity: each q=4 batch costs 1 unit
+                    bo.capital_so_far += 1.0
+                rec = bo.recommend()
+                tv = float(bo.objective_func.evaluate_true(rec)[0])
+                best = min(best, tv)
+                curve.append((round(bo.capital_so_far, 4),
+                              round(best, 6)))
+                it += 1
+                if bo.capital_so_far >= capital_budget or it >= 40:
+                    break
+            results[label].append(best)
+            curves[label].append(curve)
+            print(json.dumps({
+                "problem": "BraninFidelity-equal-capital",
+                "method": label, "seed": seed,
+                "capital_curve": curve, "iterations": it,
+                "wall_s": round(time.time() - t0, 1)}), flush=True)
+    summary = {
+        "metric": f"best recommended true value at equal capital "
+                  f"{capital_budget} (q=4, {len(seeds)} seeds, "
+                  f"mean +/- std)"}
+    for label in results:
+        gaps = np.asarray(results[label]) - TRUE_MIN
+        summary[label] = {
+            "mean_gap": round(float(gaps.mean()), 5),
+            "std_gap": round(float(gaps.std()), 5),
+            "per_seed": [round(float(g), 5) for g in gaps],
+        }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    small = "--small" in sys.argv
+    part = next((a for a in sys.argv[1:] if a in ("a", "b")), None)
+    if part in (None, "a"):
+        run_part_a(small)
+    if part in (None, "b"):
+        run_part_b(small)

@@ -1,0 +1,93 @@
+"""Observation-count scaling of the per-iteration MCMC retrain on TPU.
+
+Round-3 verdict missing-item 3: the fused LML Pallas kernel hard-gates at
+Np <= 896 (models/mcmc.py — every padded size >= 1024 fails to compile on
+v5e); beyond that the chain falls back to XLA's batched Cholesky, and no
+committed benchmark measured the cost.  The reference trains at arbitrary
+n (gpp_model_selection.hpp:261, no size cap) — its per-iteration retrain
+was 5.53 s at ~12 observations (README.md:218) and is O(n^3) per LML
+eval across ~3000 host->C++ crossings, so large-n numbers don't exist
+for it at all.
+
+Measures the driver's steady-state retrain (walkers persisted, chain
+1000 advances per iteration) at n = 500 / 1000 / 2000, reporting which
+LML path ran (fused kernel vs XLA fallback) and per-chain-step cost.
+
+Run on the TPU:  python benchmarks/scaling_retrain.py [n1 n2 ...]
+Appends one JSON line per n; collect into SCALING_r04.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def measure(num_obs: int) -> dict:
+    import jax
+
+    from cornell_moe_tpu.models.mcmc import (
+        GaussianProcessLogLikelihoodMCMC, bucket_size)
+    from cornell_moe_tpu.utils.data_containers import HistoricalData
+
+    rng = np.random.default_rng(0)
+    dim, n_ensemble = 2, 16
+    x = rng.random((num_obs, dim))
+
+    def branin(u):
+        p0 = u[:, 0] * 15.0
+        p1 = u[:, 1] * 20.0 - 5.0
+        a, b = 1.0, 5.1 / (4 * np.pi**2)
+        c, r, s, t = 5.0 / np.pi, 6.0, 10.0, 1.0 / (8 * np.pi)
+        return (a * (p1 - b * p0**2 + c * p0 - r) ** 2
+                + s * (1 - t) * np.cos(p0) + s)
+
+    y = branin(x)
+    y = (y - y.mean()) / y.std() + 0.01 * rng.standard_normal(num_obs)
+
+    hist = HistoricalData(dim)
+    hist.append_historical_data(x, y[:, None],
+                                np.full((num_obs, 1), 1e-4))
+    model = GaussianProcessLogLikelihoodMCMC(
+        hist, chain_length=1000, burnin_steps=2000, n_hypers=n_ensemble,
+        noisy=True, bucket=16, rng_key=jax.random.PRNGKey(0))
+    padded = bucket_size(num_obs, 16)
+    t0 = time.time()
+    model.train()                     # burn-in + chain + compiles
+    first = time.time() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        model.train()                 # steady-state per-iteration retrain
+        times.append(time.time() - t0)
+    wall = float(min(times))
+    hyp = np.asarray(model.hypers)
+    assert np.all(np.isfinite(hyp)), "non-finite walkers"
+    lml_path = "pallas_fused" if padded <= 896 else "xla_batched_chol"
+    return {
+        "metric": "MCMC retrain per iteration (16 walkers, chain 1000)",
+        "n_obs": num_obs,
+        "n_padded": padded,
+        "lml_path": lml_path,
+        "value": round(wall, 4),
+        "unit": "seconds",
+        "per_chain_step_ms": round(wall / 1000 * 1e3, 4),
+        "first_train_s": round(first, 1),
+    }
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [500, 1000, 2000]
+    for n in sizes:
+        print(json.dumps(measure(n)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

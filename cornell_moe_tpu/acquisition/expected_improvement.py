@@ -229,18 +229,112 @@ def monte_carlo_expected_improvement_mcmc(states, points_to_sample,
     return jnp.mean(jax.vmap(one)(states, best))
 
 
+def monte_carlo_expected_improvement_batch(state, unions: jax.Array,
+                                           best_so_far,
+                                           normals: jax.Array) -> jax.Array:
+    """q,p-EI at B candidate unions at once: (B, u, dim) -> (B,).
+
+    Identical estimator to :func:`monte_carlo_expected_improvement` (same
+    solve-with-refinement variance path, same jitter), but the B unions'
+    kernel columns fuse into single wide matmuls so a whole multistart-GD
+    step runs through full MXU tiles instead of B thin (u ~ 4)-wide ones
+    — the same batching that took the KG solver from vmapped per-start to
+    lockstep (knowledge_gradient_batch).
+    """
+    from cornell_moe_tpu.models import covariance as cov_mod
+
+    b, u, dim = unions.shape
+    flat = unions.reshape(b * u, dim)
+    k_xu_flat = gp._mix_cov(state, flat, ())             # (N_ch, B*u)
+    mu = (linalg.hdot(k_xu_flat.T, state.K_inv_y).reshape(b, u)
+          + state.mean)
+    if state.inv_chol_K is not None:
+        va = linalg.solve_lower_with_refinement(
+            state.chol_K, state.inv_chol_K, k_xu_flat)
+    else:
+        va = linalg.solve_triangular(state.chol_K, k_xu_flat, lower=True)
+    va = va.reshape(-1, b, u)
+    prior = jax.vmap(lambda pts: cov_mod.build_block_covariance(
+        state.covariance, pts, (), pts, ()))(unions)     # (B, u, u)
+    var = prior - jnp.einsum("nbi,nbj->bij", va, va,
+                             precision=linalg.HIGHEST)
+    var = linalg.symmetrize(var)
+    chol = linalg.cholesky_small(
+        linalg.add_jitter(var, config.EI_VARIANCE_JITTER))
+    # samples[b, m, i] = mu[b, i] + (chol[b] @ z_m)_i
+    samples = mu[:, None, :] + jnp.einsum("bij,mj->bmi", chol, normals,
+                                          precision=linalg.HIGHEST)
+    improvement = jnp.maximum(best_so_far - jnp.min(samples, axis=-1),
+                              0.0)                       # (B, n_mc)
+    return jnp.mean(improvement, axis=-1)
+
+
+def monte_carlo_expected_improvement_mcmc_batch(states, pts_batch,
+                                                points_being_sampled,
+                                                best_so_far,
+                                                normals) -> jax.Array:
+    """Ensemble-averaged q,p-EI at B start blocks: (B, q, dim) -> (B,).
+
+    Lockstep-batched counterpart of
+    :func:`monte_carlo_expected_improvement_mcmc` (semantically identical;
+    equivalence enforced by tests/test_expected_improvement.py).
+    """
+    if points_being_sampled is not None and \
+            jnp.size(points_being_sampled):
+        being = jnp.atleast_2d(points_being_sampled)
+        unions = jnp.concatenate(
+            [pts_batch, jnp.broadcast_to(
+                being, (pts_batch.shape[0],) + being.shape)], axis=1)
+    else:
+        unions = pts_batch
+    best = jnp.broadcast_to(jnp.asarray(best_so_far),
+                            (states.points_sampled.shape[0],))
+
+    def one(s, bsf):
+        return monte_carlo_expected_improvement_batch(s, unions, bsf,
+                                                      normals)
+
+    return jnp.mean(jax.vmap(one)(states, best), axis=0)
+
+
+def expected_improvement_mcmc_batch_value_and_grad(
+        states, pts_batch, points_being_sampled, best_so_far, normals):
+    """((B,), (B, q, dim)) ensemble q-EI values and per-start gradients.
+
+    One vjp over the batched estimator (each start's value depends only
+    on its own block, so the summed cotangent IS the per-start gradient).
+    """
+    def f(p):
+        return monte_carlo_expected_improvement_mcmc_batch(
+            states, p, points_being_sampled, best_so_far, normals)
+
+    vals, vjp = jax.vjp(f, pts_batch)
+    grads = vjp(jnp.ones_like(vals))[0]
+    return vals, grads
+
+
 def multistart_expected_improvement_mcmc_optimization(
         key: jax.Array, states, domain, num_to_sample: int,
         params: optimizers.GradientDescentParameters,
         points_being_sampled=None, best_so_far=None,
         num_mc_iterations: int = 1000,
-        conv_tol=None) -> jax.Array:
+        conv_tol=None, use_batched: bool = True,
+        chunk_size=None, mesh=None,
+        mesh_axis: str = "restarts") -> jax.Array:
     """Suggest q points maximizing ensemble-averaged q,p-EI
     (cpp_wrappers/expected_improvement_mcmc.py:21).
 
-    ``conv_tol``: optional per-start step-norm convergence gate on the
-    GD (see optimizers.gradient_ascent); the KG seeding protocol passes
-    the driver's gate through here.
+    ``use_batched`` (default): run the lockstep-batched multistart (all
+    starts advance together through wide-matmul objective evaluations;
+    see :func:`monte_carlo_expected_improvement_mcmc_batch`), which is
+    what makes ``conv_tol`` effective — the chunk-wide step-norm gate
+    exits once every start in the chunk has converged
+    (gpp_optimization.hpp:667-671 semantics), instead of the vmapped
+    while_loop masking lanes until the slowest start finishes.
+
+    ``mesh``: optional jax.sharding.Mesh; shards the restart axis across
+    devices (chunk_size defaults to the per-device shard size so sharded
+    and single-device runs gate over identical start groups).
     """
     from cornell_moe_tpu.ops.domains import RepeatedDomain
     if best_so_far is None:
@@ -254,6 +348,23 @@ def multistart_expected_improvement_mcmc_optimization(
                                                 params.num_multistarts)
     normals = draw_normals(key_mc, num_mc_iterations, num_to_sample + p,
                            dtype=states.points_sampled.dtype)
+
+    if use_batched:
+        def bvg(pts_batch):
+            return expected_improvement_mcmc_batch_value_and_grad(
+                states, pts_batch, points_being_sampled, best_so_far,
+                normals)
+
+        if mesh is not None:
+            from cornell_moe_tpu.parallel import sharding as shard_mod
+            res = shard_mod.sharded_multistart_optimize_batched_gated(
+                bvg, rep, starts, params, mesh, axis_name=mesh_axis,
+                chunk_size=chunk_size, conv_tol=conv_tol)
+        else:
+            res = optimizers.multistart_optimize_batched(
+                bvg, rep, starts, params, chunk_size=chunk_size,
+                conv_tol=conv_tol)
+        return res.best_point
 
     def vg(pts):
         return jax.value_and_grad(

@@ -967,7 +967,8 @@ def multistart_knowledge_gradient_mcmc_optimization(
         derivatives_to_sample: Sequence[int] = (),
         chunk_size=None, use_batched: bool = True,
         warm_start: bool = True,
-        conv_tol: Optional[float] = None) -> jax.Array:
+        conv_tol: Optional[float] = None, mesh=None,
+        mesh_axis: str = "restarts") -> jax.Array:
     """MCMC-averaged q-KG suggestion over a stacked ensemble.
 
     Counterpart of multistart_knowledge_gradient_mcmc_optimization
@@ -975,17 +976,27 @@ def multistart_knowledge_gradient_mcmc_optimization(
     (per-model best posterior-mean value, examples/main.py:181-196);
     ``discrete_pts`` is (S, n_d, dim_opt).
 
-    ``warm_start`` (value-only channels, no fidelity dims): run the
-    outer GD with the "reseed" warm carry — the inner descents start
-    from the previous step's argmins with 1 step instead of
-    ``inner_params.max_num_steps``, while the seeding (and hence the
-    estimator) is unchanged; measured 4.3x on the suggest bench at
-    equal suggestion quality (benchmarks/SWEEP_r03.md).
+    ``warm_start``: run the outer GD with the "reseed" warm carry — the
+    inner descents start from the previous step's argmins with 1 step
+    instead of ``inner_params.max_num_steps``, while the seeding (and
+    hence the estimator) is unchanged; measured 4.3x on the suggest
+    bench at equal suggestion quality (benchmarks/SWEEP_r03.md).  Since
+    round 4 this covers derivative-sampling channels (d-KG) and
+    fidelity dims (cf-KG) too: the reseed carry only changes descent
+    STARTS, which is channel-agnostic (warm==cold equivalence for both
+    enforced by tests/test_kg_warm_start.py).
 
     ``conv_tol`` (warm path only): per-chunk convergence-gated early
     exit on the outer GD — the C++ GD's step-norm tolerance semantics
     (gpp_optimization.hpp:641,667-671) applied chunk-wide; see
     multistart_optimize_batched_warm.
+
+    ``mesh``: optional jax.sharding.Mesh — shards the restart axis
+    across devices (the TPU-native counterpart of the OpenMP multistart
+    in gpp_optimization.hpp:1452-1564, reachable from the production
+    driver via BayesianOptimizer(n_devices=...)).  chunk_size defaults
+    to the per-device shard size so sharded and single-device runs
+    gate over identical start groups.
     """
     from cornell_moe_tpu.ops.domains import (RepeatedDomain,
                                              TensorProductDomain)
@@ -1011,6 +1022,9 @@ def multistart_knowledge_gradient_mcmc_optimization(
 
     being = None if p == 0 else jnp.atleast_2d(points_being_sampled)
 
+    if mesh is not None:
+        from cornell_moe_tpu.parallel import sharding as shard_mod
+
     if use_batched and states.inv_chol_K is not None:
         def to_union(pts_batch):
             return pts_batch if being is None else jnp.concatenate(
@@ -1018,10 +1032,7 @@ def multistart_knowledge_gradient_mcmc_optimization(
                  jnp.broadcast_to(being, (pts_batch.shape[0],) +
                                   being.shape)], axis=1)
 
-        # derivative training channels are fine for the warm carry; only
-        # derivative *sampling* channels and fidelity dims are not
-        sample_derivs = bool(ds) or num_fidelity > 0
-        if warm_start and not sample_derivs:
+        if warm_start:
             import dataclasses
 
             inner_warm = dataclasses.replace(
@@ -1043,9 +1054,15 @@ def multistart_knowledge_gradient_mcmc_optimization(
                     warm_mode="reseed")
                 return vals, grads[:, :num_to_sample], xs
 
-            res = optimizers.multistart_optimize_batched_warm(
-                bvg_cold, bvg_warm, rep, starts, params,
-                chunk_size=chunk_size, conv_tol=conv_tol)
+            if mesh is not None:
+                res = shard_mod.sharded_multistart_optimize_batched_warm(
+                    bvg_cold, bvg_warm, rep, starts, params,
+                    axis_name=mesh_axis, mesh=mesh,
+                    chunk_size=chunk_size, conv_tol=conv_tol)
+            else:
+                res = optimizers.multistart_optimize_batched_warm(
+                    bvg_cold, bvg_warm, rep, starts, params,
+                    chunk_size=chunk_size, conv_tol=conv_tol)
             return res.best_point
 
         def bvg(pts_batch):
@@ -1055,8 +1072,13 @@ def multistart_knowledge_gradient_mcmc_optimization(
                 num_fidelity, ds)
             return vals, grads[:, :num_to_sample]
 
-        res = optimizers.multistart_optimize_batched(
-            bvg, rep, starts, params, chunk_size=chunk_size)
+        if mesh is not None:
+            res = shard_mod.sharded_multistart_optimize_batched_gated(
+                bvg, rep, starts, params, mesh, axis_name=mesh_axis,
+                chunk_size=chunk_size)
+        else:
+            res = optimizers.multistart_optimize_batched(
+                bvg, rep, starts, params, chunk_size=chunk_size)
         return res.best_point
 
     def f(pts):
@@ -1067,8 +1089,12 @@ def multistart_knowledge_gradient_mcmc_optimization(
             inner_params, best_so_far, num_to_sample, num_fidelity, ds)
 
     vg = jax.value_and_grad(f)
-    res = optimizers.multistart_optimize(vg, rep, starts, params,
-                                         chunk_size=chunk_size)
+    if mesh is not None:
+        res = shard_mod.sharded_multistart_optimize(
+            vg, rep, starts, params, mesh, axis_name=mesh_axis)
+    else:
+        res = optimizers.multistart_optimize(vg, rep, starts, params,
+                                             chunk_size=chunk_size)
     return res.best_point
 
 

@@ -93,22 +93,28 @@ def seed_kg_discretization(key, states, domain,
                            qei_params=None, ps_params=DEFAULT_SGD_PARAMS_PS,
                            num_qei_pts: int = 10, num_eval_pts: int = 1000,
                            num_fidelity: int = 0, num_mc=2**10,
-                           conv_tol=None):
+                           conv_tol=None, chunk_size=None, mesh=None,
+                           mesh_axis: str = "restarts"):
     """Build per-model inner-optimization seeds for KG.
 
     Mirrors examples/main.py:170-200: 10 points from ensemble q-EI, plus
     each model's posterior-mean argmin (uniform eval points + sampled
     points, GD-polished).  Returns (S, num_qei_pts + 1, dim_opt).
 
-    ``conv_tol``: optional per-start step-norm gate on the q-EI GD (the
-    dominant seeding cost at small shapes); see optimizers.gradient_ascent.
+    ``conv_tol``: optional chunk-wide step-norm gate on the q-EI GD (the
+    dominant seeding cost at transcript shapes) — effective because the
+    seeding runs the lockstep-batched multistart since round 4; see
+    multistart_expected_improvement_mcmc_optimization.
+
+    ``mesh``: optional device mesh sharding the q-EI restart axis.
     """
     if qei_params is None:
         qei_params = DEFAULT_SGD_PARAMS_KG
     k_ei, k_eval = jax.random.split(key)
     discrete = ei_mod.multistart_expected_improvement_mcmc_optimization(
         k_ei, states, domain, num_qei_pts, qei_params,
-        num_mc_iterations=num_mc, conv_tol=conv_tol)
+        num_mc_iterations=num_mc, conv_tol=conv_tol,
+        chunk_size=chunk_size, mesh=mesh, mesh_axis=mesh_axis)
     dim = states.points_sampled.shape[-1]
     dim_opt = dim - num_fidelity
     inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
@@ -138,23 +144,35 @@ def best_so_far_from_discretization(states, discrete_pts,
 
 def _qkg_suggest_arrays(key, states, domain, discrete_pts, params,
                         inner_params, num_to_sample, num_mc,
-                        num_fidelity, conv_tol=None):
-    """Jit-safe body of :func:`gen_sample_from_qkg_mcmc`."""
+                        num_fidelity, conv_tol=None,
+                        derivatives_to_sample=(), chunk_size=None,
+                        mesh=None, mesh_axis="restarts"):
+    """Jit-safe body of :func:`gen_sample_from_qkg_mcmc`.
+
+    ``derivatives_to_sample``: fantasy observations at the suggested
+    points include these derivative channels — the reference's d-KG
+    passes the GP's derivative list into the KG state
+    (gpp_python_knowledge_gradient_mcmc.cpp:120).
+    """
+    ds = tuple(int(i) for i in derivatives_to_sample)
     best_so_far = best_so_far_from_discretization(states, discrete_pts,
                                                   num_fidelity)
     pts = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
         key, states, domain, num_to_sample, params, inner_params,
         discrete_pts, best_so_far=best_so_far,
         num_mc_iterations=num_mc, num_fidelity=num_fidelity,
-        conv_tol=conv_tol)
+        derivatives_to_sample=ds, conv_tol=conv_tol,
+        chunk_size=chunk_size, mesh=mesh, mesh_axis=mesh_axis)
     normals = ei_mod.draw_antithetic_normals(
-        jax.random.fold_in(key, 1), num_mc, num_to_sample,
+        jax.random.fold_in(key, 1), num_mc,
+        num_to_sample * (1 + len(ds)),
         dtype=states.points_sampled.dtype)
     dim_opt = states.points_sampled.shape[-1] - num_fidelity
     inner_domain = TensorProductDomain(bounds=domain.bounds[:dim_opt])
     voi = kg_mod.knowledge_gradient_mcmc(
         states, pts, discrete_pts, normals, inner_domain, inner_params,
-        best_so_far, num_to_sample, num_fidelity)
+        best_so_far, num_to_sample, num_fidelity,
+        derivatives_to_sample=ds)
     return pts, voi
 
 
@@ -206,6 +224,26 @@ class BayesianOptimizer:
     # 500-obs bench sweep (benchmarks/SWEEP_r03.md) and an
     # equal-quality Branin transcript (docs/branin_transcript.md)
     suggest_conv_tol: Optional[float] = 3e-3
+    # convergence gate for the seeding q-EI GD (chunk-wide, batched path)
+    seed_conv_tol: Optional[float] = 3e-3
+    # KG fantasy observations include the GP's derivative channels (the
+    # reference's d-KG: gpp_python_knowledge_gradient_mcmc.cpp:120 passes
+    # gaussian_process_mcmc.derivatives() into the KG state); set False
+    # to fantasize value channels only on derivative-observation problems
+    kg_sample_derivatives: bool = True
+    # -- multi-chip scale-out ---------------------------------------------
+    # n_devices builds a restart-axis mesh over the first n JAX devices
+    # (or pass an explicit jax.sharding.Mesh): the KG/q-EI multistarts,
+    # the MCMC walker log-posteriors, and the recommend grid evaluation
+    # all shard across it — the TPU-native counterpart of the OpenMP
+    # threading inside the reference's production endpoints
+    # (gpp_optimization.hpp:1452-1564).  suggest_chunk_size defaults to
+    # the per-device shard so sharded == single-device given the same
+    # chunking (tests/test_parallel.py, __graft_entry__.dryrun_multichip).
+    mesh: Optional[object] = None
+    n_devices: Optional[int] = None
+    mesh_axis: str = "restarts"
+    suggest_chunk_size: Optional[int] = None
 
     def __post_init__(self):
         from cornell_moe_tpu.config import enable_compilation_cache
@@ -217,6 +255,14 @@ class BayesianOptimizer:
         self.domain = TensorProductDomain.from_bounds(f._search_domain)
         self.num_mc = self.num_mc or (2**7 if self.method == "KG"
                                       else 2**10)
+        if self.mesh is None and self.n_devices:
+            from cornell_moe_tpu.parallel.sharding import default_mesh
+            self.mesh = default_mesh(self.n_devices,
+                                     axis_name=self.mesh_axis)
+        if self.mesh is not None and self.suggest_chunk_size is None:
+            n_dev = self.mesh.shape[self.mesh_axis]
+            self.suggest_chunk_size = max(
+                self.sgd_params.num_multistarts // n_dev, 1)
         self._key = jax.random.PRNGKey(self.seed)
         self.capital_so_far = 0.0
         self.history = []
@@ -255,7 +301,8 @@ class BayesianOptimizer:
             self.chain_length, burnin_steps=self.burnin_steps,
             n_hypers=self.n_hypers, noisy=self.noisy,
             kernel_name=self.kernel_name, rng_key=self._next_key(),
-            bucket=self.shape_bucket)
+            bucket=self.shape_bucket, mesh=self.mesh,
+            mesh_axis=self.mesh_axis)
         t0 = time.time()
         self.model.train()
         self._log(f"initial training took {time.time() - t0:.2f}s on "
@@ -267,28 +314,37 @@ class BayesianOptimizer:
         if prog is not None:
             return prog
         if self.method == "KG":
+            ds = self.derivatives if self.kg_sample_derivatives else ()
+
             def run(k_seed, k_sugg, states):
-                # the seeding q-EI stays UNGATED: its GD is vmapped
-                # per-start, where the batched while_loop masks lanes
-                # until the slowest converges — measured SLOWER than the
-                # fixed scan at transcript shape (0.63 vs 0.57 s,
-                # benchmarks/profile_driver_suggest.py); the gate's win
-                # is the chunk-reduced batched KG outer loop
+                # the seeding q-EI runs the lockstep-batched multistart
+                # (round 4) so the chunk-wide step-norm gate applies —
+                # the vmapped per-start gate measured SLOWER than the
+                # fixed scan (0.63 vs 0.57 s, round 3) because the
+                # batched while_loop masked lanes until the slowest
+                # start converged; the batched objective gates whole
+                # chunks instead, same as the KG outer loop
                 discrete = seed_kg_discretization(
                     k_seed, states, self.domain,
                     qei_params=self.sgd_params,
                     ps_params=self.inner_sgd_params,
-                    num_fidelity=self.num_fidelity)
+                    num_fidelity=self.num_fidelity,
+                    conv_tol=self.seed_conv_tol,
+                    chunk_size=self.suggest_chunk_size,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis)
                 return _qkg_suggest_arrays(
                     k_sugg, states, self.domain, discrete,
                     self.sgd_params, self.inner_sgd_params,
                     self.num_to_sample, self.num_mc, self.num_fidelity,
-                    conv_tol=self.suggest_conv_tol)
+                    conv_tol=self.suggest_conv_tol,
+                    derivatives_to_sample=ds,
+                    chunk_size=self.suggest_chunk_size,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis)
         elif self.method == "EI":
             def run(k_sugg, states):
-                # ungated for the same reason as the seeding q-EI above
-                # (vmapped per-start GD; conv_tol plumbing available to
-                # callers who measure a win on their problem)
+                # ungated (single-GP vmapped per-start GD; conv_tol
+                # plumbing available to callers who measure a win on
+                # their problem)
                 member = mcmc_mod.ensemble_member(states, 0)
                 return _qei_suggest_arrays(
                     k_sugg, member, self.domain, self.sgd_params,
@@ -353,7 +409,14 @@ class BayesianOptimizer:
 
             # non-finite guesses lose the argmax (NaN would otherwise
             # poison it and select an arbitrary grid point)
-            vals = jax.vmap(ensemble_neg_mean)(guesses)
+            if self.mesh is not None:
+                from cornell_moe_tpu.parallel.sharding import \
+                    sharded_point_evaluation
+                vals = sharded_point_evaluation(
+                    ensemble_neg_mean, guesses, self.mesh,
+                    axis_name=self.mesh_axis)
+            else:
+                vals = jax.vmap(ensemble_neg_mean)(guesses)
             vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
             x0 = guesses[jnp.argmax(vals)]
             vg = jax.value_and_grad(ensemble_neg_mean)
@@ -393,6 +456,10 @@ class BayesianOptimizer:
         from cornell_moe_tpu.utils import checkpoint as ckpt
         self.model, manifest, arrays = ckpt.restore_mcmc_model(
             path or self.checkpoint_path, return_arrays=True)
+        # checkpoints don't persist the device mesh; re-attach this
+        # driver's so resumed retrains shard the same way
+        self.model.mesh = self.mesh
+        self.model.mesh_axis = self.mesh_axis
         if "rng_key" in arrays:
             # restore the driver's random stream so a resumed run's
             # suggestions match an uninterrupted one

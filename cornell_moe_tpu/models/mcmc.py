@@ -213,8 +213,15 @@ class GaussianProcessLogLikelihoodMCMC:
                  prior=None, chain_length: int = 1000,
                  burnin_steps: int = 2000, n_hypers: int = 16,
                  noisy: bool = True, kernel_name: str = "matern_2.5",
-                 rng_key: Optional[jax.Array] = None, bucket: int = 0):
+                 rng_key: Optional[jax.Array] = None, bucket: int = 0,
+                 mesh=None, mesh_axis: str = "restarts"):
         self._data = historical_data
+        # optional device mesh: walker log-posterior evaluations (the
+        # chain's only expensive part, one Cholesky per walker) shard
+        # across devices; the stretch-move bookkeeping stays replicated.
+        # Per-walker math is independent, so sharded == single-device.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         # shape bucketing: pad n to multiples of `bucket` so retraining
         # after new observations reuses the compiled chain/fit programs
         self.bucket = bucket
@@ -376,10 +383,35 @@ class GaussianProcessLogLikelihoodMCMC:
         """
         if getattr(self, "_chain_fn_cache", None) is None:
             log_post = self._log_posterior_with_data()
+            mesh, axis = self.mesh, self.mesh_axis
+
+            if mesh is None:
+                def lp_fn(t, x, y, point_noise):
+                    return log_post(t, x, y, point_noise)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from cornell_moe_tpu.parallel.sharding import \
+                    pad_to_multiple
+                n_dev = mesh.shape[axis]
+
+                def lp_fn(t, x, y, point_noise):
+                    padded, n_valid = pad_to_multiple(t, n_dev)
+                    if point_noise is None:
+                        out = jax.shard_map(
+                            lambda tt, xx, yy: log_post(tt, xx, yy, None),
+                            mesh=mesh, in_specs=(P(axis), P(), P()),
+                            out_specs=P(axis))(padded, x, y)
+                    else:
+                        out = jax.shard_map(
+                            log_post, mesh=mesh,
+                            in_specs=(P(axis), P(), P(), P()),
+                            out_specs=P(axis))(padded, x, y, point_noise)
+                    return out[:n_valid]
 
             def chain(key, p0, x, y, point_noise, num_steps):
                 return run_ensemble_mcmc(
-                    key, lambda t: log_post(t, x, y, point_noise), p0,
+                    key, lambda t: lp_fn(t, x, y, point_noise), p0,
                     num_steps)
 
             self._chain_fn_cache = jax.jit(

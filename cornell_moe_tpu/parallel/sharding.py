@@ -125,6 +125,42 @@ def sharded_multistart_optimize_batched(
         all_points=finals, all_values=values)
 
 
+def sharded_multistart_optimize_batched_gated(
+        batched_value_and_grad: Callable, domain,
+        initial_points: jax.Array,
+        params: optimizers.GradientDescentParameters, mesh: Mesh,
+        axis_name: str = "restarts", chunk_size: Optional[int] = None,
+        conv_tol: Optional[float] = None) -> optimizers.MultistartResult:
+    """Batched multistart, sharded, with the per-chunk convergence gate.
+
+    Each device runs :func:`optimizers.multistart_optimize_batched`
+    (chunking + the step-norm conv_tol gate, gpp_optimization.hpp:667-671
+    semantics) on its shard of the restart axis.  Equivalence to a
+    single-device run holds when ``chunk_size`` matches the chunking used
+    there (defaults to one chunk per device shard).
+    """
+    n_dev = mesh.shape[axis_name]
+    padded, n_valid = pad_to_multiple(initial_points, n_dev)
+
+    def local_shard(starts):
+        res = optimizers.multistart_optimize_batched(
+            batched_value_and_grad, domain, starts, params,
+            chunk_size=chunk_size, conv_tol=conv_tol)
+        return res.all_points, res.all_values
+
+    finals, values = jax.shard_map(
+        local_shard, mesh=mesh, in_specs=P(axis_name),
+        out_specs=P(axis_name))(padded)
+
+    values = values[:n_valid]
+    finals = finals[:n_valid]
+    safe = jnp.where(jnp.isfinite(values), values, -jnp.inf)
+    best = jnp.argmax(safe)
+    return optimizers.MultistartResult(
+        best_point=finals[best], best_value=values[best],
+        all_points=finals, all_values=values)
+
+
 def sharded_multistart_optimize_batched_warm(
         bvg_cold: Callable, bvg_warm: Callable, domain,
         initial_points: jax.Array,

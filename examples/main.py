@@ -3,10 +3,11 @@
 Counterpart of ``examples/main.py`` in the reference:
 
     python examples/main.py <obj_func_name> <method KG|EI> <num_to_sample>
-                            <job_id> [HeSBO] [effective_dim]
+                            <job_id> [HeSBO] [effective_dim] [--devices=N]
 
 e.g.  python examples/main.py Branin KG 4 1
       python examples/main.py Hartmann6 KG 2 1 HeSBO 3
+      python examples/main.py Branin KG 4 1 --devices=8   # 8-chip mesh
 """
 
 import sys
@@ -22,6 +23,14 @@ from cornell_moe_tpu.utils.synthetic_functions import (  # noqa: E402
 
 
 def main(argv):
+    # optional --devices=N anywhere in argv: shard the suggest/retrain
+    # programs over a mesh of the first N JAX devices (multi-chip mode)
+    n_devices = None
+    argv = list(argv)
+    for a in list(argv):
+        if a.startswith("--devices"):
+            n_devices = int(a.split("=", 1)[1]) if "=" in a else None
+            argv.remove(a)
     if len(argv) < 5:
         print(__doc__)
         return 1
@@ -49,7 +58,7 @@ def main(argv):
     bo = BayesianOptimizer(
         objective_func=objective_func, method=method,
         num_to_sample=num_to_sample, noisy=objective_func._sample_var > 0,
-        seed=job_id)
+        seed=job_id, n_devices=n_devices)
     history = bo.run(num_iterations)
     best = min(h["true_value"] for h in history)
     print(f"final best recommended value: {best:.6f} "

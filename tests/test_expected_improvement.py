@@ -236,3 +236,95 @@ def test_heuristic_ei_preserves_bucketed_point_noise(rng):
         num_mc_iterations=400)
     np.testing.assert_allclose(np.asarray(pts_bucketed),
                                np.asarray(pts_plain), atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Lockstep-batched ensemble q-EI (the round-4 seeding fast path)
+# ---------------------------------------------------------------------------
+
+def _ensemble(rng, n=12, s=3):
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    x = rng.random((n, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1] ** 2
+    hypers = np.abs(rng.standard_normal((s, 3))) + 0.7
+    noises = np.full((s, 1), 1e-3)
+    states = mcmc_mod.fit_gp_ensemble(
+        "matern_2.5", jnp.asarray(hypers), jnp.asarray(noises),
+        jnp.asarray(x), jnp.asarray(y)[:, None])
+    return states, x, y
+
+
+def test_batched_qei_mcmc_matches_per_start(rng):
+    """monte_carlo_expected_improvement_mcmc_batch == vmapped per-start
+    estimator (same solve path, same jitter) to rounding."""
+    states, x, y = _ensemble(rng)
+    normals = ei.draw_normals(jax.random.PRNGKey(1), 64, 2)
+    bsf = jax.vmap(lambda s: s.best_observed_value)(states)
+    pts = jnp.asarray(rng.random((5, 2, 2)))
+    batched = ei.monte_carlo_expected_improvement_mcmc_batch(
+        states, pts, None, bsf, normals)
+    per = jax.vmap(lambda p: ei.monte_carlo_expected_improvement_mcmc(
+        states, p, None, bsf, normals))(pts)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(per),
+                               rtol=1e-12, atol=1e-14)
+
+    # with points_being_sampled
+    being = jnp.asarray(rng.random((1, 2)))
+    normals3 = ei.draw_normals(jax.random.PRNGKey(2), 64, 3)
+    b2 = ei.monte_carlo_expected_improvement_mcmc_batch(
+        states, pts, being, bsf, normals3)
+    p2 = jax.vmap(lambda p: ei.monte_carlo_expected_improvement_mcmc(
+        states, p, being, bsf, normals3))(pts)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(p2),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_batched_qei_mcmc_grads_match(rng):
+    states, x, y = _ensemble(rng)
+    normals = ei.draw_normals(jax.random.PRNGKey(1), 32, 2)
+    bsf = jax.vmap(lambda s: s.best_observed_value)(states)
+    pts = jnp.asarray(rng.random((4, 2, 2)))
+    _, grads = ei.expected_improvement_mcmc_batch_value_and_grad(
+        states, pts, None, bsf, normals)
+    g_ref = jax.vmap(lambda p: jax.grad(
+        lambda q: ei.monte_carlo_expected_improvement_mcmc(
+            states, q, None, bsf, normals))(p))(pts)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(g_ref),
+                               rtol=1e-10, atol=1e-13)
+
+
+def test_batched_qei_endpoint_matches_vmapped(rng):
+    """multistart_expected_improvement_mcmc_optimization use_batched=True
+    (round-4 default) lands on the same suggestion as the vmapped path."""
+    states, x, y = _ensemble(rng)
+    dom = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    a = ei.multistart_expected_improvement_mcmc_optimization(
+        jax.random.PRNGKey(5), states, dom, 2, params,
+        num_mc_iterations=64, use_batched=True)
+    b = ei.multistart_expected_improvement_mcmc_optimization(
+        jax.random.PRNGKey(5), states, dom, 2, params,
+        num_mc_iterations=64, use_batched=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_batched_qei_gate_unreachable_tol_is_exact(rng):
+    """conv_tol=0.0 can never fire: the gated batched multistart must be
+    bit-identical to the ungated one (circular Polyak buffer included)."""
+    states, x, y = _ensemble(rng)
+    dom = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=6, max_num_restarts=2,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    a = ei.multistart_expected_improvement_mcmc_optimization(
+        jax.random.PRNGKey(5), states, dom, 2, params,
+        num_mc_iterations=32, use_batched=True, conv_tol=0.0)
+    b = ei.multistart_expected_improvement_mcmc_optimization(
+        jax.random.PRNGKey(5), states, dom, 2, params,
+        num_mc_iterations=32, use_batched=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

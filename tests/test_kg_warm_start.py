@@ -279,3 +279,89 @@ def test_driver_mcmc_multistart_warm_matches_cold(rng):
 
     v_warm, v_cold = cold_kg(pts_warm), cold_kg(pts_cold)
     assert v_warm > v_cold - 0.05 * abs(v_cold) - 2e-3, (v_warm, v_cold)
+
+
+def _gp_ensemble_dkg(rng, n=10):
+    """Derivative-observation ensemble (value + d/dx0 channels)."""
+    x = rng.uniform(-2, 2, (n, 2))
+    f = np.sin(1.3 * x[:, 0]) + 0.5 * x[:, 1] ** 2
+    g0 = 1.3 * np.cos(1.3 * x[:, 0])
+    y = np.stack([f, g0], axis=1)
+    hypers = np.abs(rng.standard_normal((2, 3))) + 0.8
+    noises = np.full((2, 2), 1e-3)
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers, noises, x, y,
+                                  derivatives=(0,))
+    return states, x, f
+
+
+def test_dkg_warm_matches_cold_quality(rng):
+    """Round-4 gate lift: the warm reseed carry covers derivative-sampling
+    channels (d-KG) — the production endpoint with warm_start=True must
+    land on a suggestion of the same cold-evaluated quality.
+
+    The reference's d-KG passes the GP's derivative list into the KG
+    state (gpp_python_knowledge_gradient_mcmc.cpp:120), so the fantasy
+    covariance blocks span (1 + m) channels per union point."""
+    states, x, f = _gp_ensemble_dkg(rng)
+    dom = TensorProductDomain.from_bounds([[-2.0, 2.0], [-2.0, 2.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=8, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.4,
+        max_relative_change=0.5)
+    discrete = jnp.asarray(rng.uniform(-2, 2, (2, 7, 2)))
+    key = jax.random.PRNGKey(4)
+    pts_warm = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, derivatives_to_sample=(0,),
+        warm_start=True, conv_tol=3e-3)
+    pts_cold = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, derivatives_to_sample=(0,),
+        warm_start=False)
+    assert pts_warm.shape == (2, 2)
+    normals = draw_antithetic_normals(jax.random.PRNGKey(1), 16, 4)
+    bsf = jnp.asarray([float(f.min())] * 2)
+
+    def cold_kg(p):
+        return float(kg_mod.knowledge_gradient_mcmc_batch(
+            states, p[None], discrete, normals, dom, INNER, bsf, 2,
+            derivatives_to_sample=(0,))[0])
+
+    v_warm, v_cold = cold_kg(pts_warm), cold_kg(pts_cold)
+    assert v_warm > v_cold - 0.05 * abs(v_cold) - 2e-3, (v_warm, v_cold)
+
+
+def test_cfkg_warm_matches_cold_quality(rng):
+    """Round-4 gate lift: the warm reseed carry covers fidelity dims
+    (cf-KG, gpp_knowledge_gradient_mcmc_optimization.cpp:87-104)."""
+    x = rng.uniform(0, 1, (10, 2))        # last coord = fidelity
+    y = (np.sin(3 * x[:, 0]) * (0.5 + 0.5 * x[:, 1]))[:, None]
+    hypers = np.abs(rng.standard_normal((2, 3))) + 0.8
+    states = mcmc.fit_gp_ensemble("matern_2.5", hypers,
+                                  np.full((2, 1), 1e-3), x, y)
+    dom = TensorProductDomain.from_bounds([[0.0, 1.0], [0.05, 1.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=6, max_num_steps=8, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.4,
+        max_relative_change=0.5)
+    discrete = jnp.asarray(rng.uniform(0, 1, (2, 7, 1)))
+    key = jax.random.PRNGKey(4)
+    pw = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, num_fidelity=1, warm_start=True,
+        conv_tol=3e-3)
+    pc = kg_mod.multistart_knowledge_gradient_mcmc_optimization(
+        key, states, dom, 2, params, INNER, discrete,
+        num_mc_iterations=16, num_fidelity=1, warm_start=False)
+    assert pw.shape == (2, 2)
+    normals = draw_antithetic_normals(jax.random.PRNGKey(1), 16, 2)
+    bsf = jnp.asarray([float(y.min())] * 2)
+    inner_dom = TensorProductDomain(bounds=dom.bounds[:1])
+
+    def cold_kg(p):
+        return float(kg_mod.knowledge_gradient_mcmc_batch(
+            states, p[None], discrete, normals, inner_dom, INNER, bsf, 2,
+            num_fidelity=1)[0])
+
+    v_warm, v_cold = cold_kg(pw), cold_kg(pc)
+    assert v_warm > v_cold - 0.05 * abs(v_cold) - 2e-3, (v_warm, v_cold)

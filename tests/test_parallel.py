@@ -9,6 +9,7 @@ mesh equivalence.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cornell_moe_tpu.ops import optimizers
 from cornell_moe_tpu.ops.domains import TensorProductDomain
@@ -216,3 +217,44 @@ def test_sharded_warm_gated_kg_matches_single_device(rng):
                                np.asarray(single.all_values), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(sharded.all_points),
                                np.asarray(single.all_points), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_driver_mesh_iteration_matches_single(rng):
+    """BayesianOptimizer(n_devices=8): one full driver iteration — sharded
+    MCMC chain + sharded seeding q-EI + sharded warm+gated KG multistart +
+    sharded recommend grid — must reproduce the single-device driver
+    bit-tightly (chunk_size matched so the conv gate spans identical
+    start groups).  The production counterpart of the reference's
+    single- vs multi-thread consistency test (gpp_math_test.cpp:1850)."""
+    from cornell_moe_tpu.bayes_opt import BayesianOptimizer
+    from cornell_moe_tpu.utils.synthetic_functions import (
+        SYNTHETIC_FUNCTIONS)
+
+    sgd = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=1.0,
+        max_relative_change=0.5, tolerance=1e-10)
+
+    def make(nd):
+        return BayesianOptimizer(
+            objective_func=SYNTHETIC_FUNCTIONS["Branin"](), method="KG",
+            num_to_sample=2, num_mc=16, n_hypers=8, chain_length=20,
+            burnin_steps=20, noisy=False, sgd_params=sgd, seed=7,
+            verbose=False, shape_bucket=8, n_devices=nd,
+            suggest_chunk_size=1)
+
+    bo_1, bo_8 = make(None), make(8)
+    bo_1.initialize(num_init_pts=6)
+    bo_8.initialize(num_init_pts=6)
+    np.testing.assert_allclose(np.asarray(bo_8.model.hypers),
+                               np.asarray(bo_1.model.hypers),
+                               rtol=1e-11, atol=1e-11)
+    p1, v1 = bo_1.suggest()
+    p8, v8 = bo_8.suggest()
+    np.testing.assert_allclose(p8, p1, rtol=1e-11, atol=1e-11)
+    assert abs(v8 - v1) <= 1e-9 * max(abs(v1), 1e-12) + 1e-11
+    bo_1.observe(p1)
+    bo_8.observe(p8)
+    np.testing.assert_allclose(bo_8.recommend(), bo_1.recommend(),
+                               rtol=1e-9, atol=1e-11)
