@@ -138,10 +138,15 @@ def main():
     conv_tol = 3e-3
 
     def suggest(starts):
-        res = optimizers.multistart_optimize_batched_warm(
+        # return_stats surfaces the gate's executed warm-step counts
+        # (already computed for the conv gate — no extra device work);
+        # honest FLOP/MFU accounting needs these measured trip counts
+        # because XLA cost analysis counts each loop body exactly once
+        # (benchmarks/profile_mfu.py).
+        res, warm_steps = optimizers.multistart_optimize_batched_warm(
             bvg_cold, bvg_warm, rep, starts, outer_params,
-            chunk_size=chunk, conv_tol=conv_tol)
-        return res.best_point, res.best_value
+            chunk_size=chunk, conv_tol=conv_tol, return_stats=True)
+        return res.best_point, res.best_value, warm_steps
 
     suggest_jit = jax.jit(suggest)
 
@@ -155,7 +160,31 @@ def main():
         out = jax.block_until_ready(suggest_jit(starts))
         times.append(time.time() - t0)
     wall = float(min(times))
-    best_point, best_kg = out
+    best_point, best_kg, warm_steps = out
+
+    # --- MFU / bandwidth accounting (SURVEY section 5; VERDICT r3 #2) ----
+    # FLOPs/bytes per chunk evaluation from XLA cost analysis of the
+    # standalone chunk programs, times the measured trip counts: each of
+    # the n_chunks runs 2 cold evaluations (carry init + final scoring)
+    # plus its gated warm-step count.  v5e peaks: 197 bf16 TFLOP/s
+    # (f32-HIGHEST ~= /6), 819 GB/s HBM.
+    def _cost(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", float("nan"))),
+                float(ca.get("bytes accessed", float("nan"))))
+
+    chunk_starts = starts[:chunk]
+    cold_f, cold_b = _cost(jax.jit(bvg_cold).lower(chunk_starts).compile())
+    carry0 = jax.jit(bvg_cold)(chunk_starts)[2]
+    warm_f, warm_b = _cost(
+        jax.jit(bvg_warm).lower(chunk_starts, carry0).compile())
+    n_chunks = outer_params.num_multistarts // chunk
+    n_warm = int(np.asarray(warm_steps).sum())
+    flops = 2 * n_chunks * cold_f + n_warm * warm_f
+    byts = 2 * n_chunks * cold_b + n_warm * warm_b
+    peak_bf16, peak_hbm = 197e12, 819e9
 
     result = {
         "metric": "qKG suggest wall-clock (q=4, 500 obs, 16 hypers, "
@@ -163,6 +192,11 @@ def main():
         "value": round(wall, 4),
         "unit": "seconds",
         "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+        "achieved_tflops": round(flops / wall / 1e12, 3),
+        "mfu_vs_bf16_peak": round(flops / wall / peak_bf16, 4),
+        "mfu_vs_f32_highest": round(flops / wall / (peak_bf16 / 6), 4),
+        "hbm_gbps": round(byts / wall / 1e9, 1),
+        "hbm_bw_util": round(byts / wall / peak_hbm, 4),
     }
     print(json.dumps(result), flush=True)
     print(f"# compile+first-run {compile_and_first_run:.1f}s; "
@@ -227,12 +261,24 @@ def main():
         model.train()                  # steady-state per-iteration retrain
         times.append(time.time() - t0)
     retrain_wall = float(min(times))
+    # Analytic FLOP model (XLA cost analysis is blind here: the fused
+    # LML Pallas kernel is an opaque custom call and the scan body is
+    # counted once): 16 walkers x (1000+1) stretch-move LML evals, each
+    # dominated by one (Np, Np) Cholesky + solve (benchmarks/
+    # profile_mfu.py derivation).
+    xp_, _, _ = model._padded_data()
+    n_padded_ = xp_.shape[0]
+    lml_flops = n_padded_**3 / 3 + (dim + 10) * n_padded_**2
+    retrain_flops = n_ensemble * 1001 * lml_flops
     print(json.dumps({
         "metric": "MCMC retrain per iteration (500 obs, 16 hypers, "
                   "chain 1000)",
         "value": round(retrain_wall, 4),
         "unit": "seconds",
         "vs_baseline": round(5.53 / retrain_wall, 2),
+        "achieved_tflops": round(retrain_flops / retrain_wall / 1e12, 3),
+        "mfu_vs_f32_highest": round(
+            retrain_flops / retrain_wall / (197e12 / 6), 4),
     }), flush=True)
     print(f"# initial train (burn-in 2000 + compiles) {first_train:.1f}s",
           file=sys.stderr)

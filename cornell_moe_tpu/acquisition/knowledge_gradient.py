@@ -110,6 +110,25 @@ class _FantasyModel(NamedTuple):
     union: jax.Array          # (q, dim)
 
 
+def _channel_noise(state: GaussianProcessState, c: int) -> jax.Array:
+    """Per-channel fantasy observation noise, length ``c``.
+
+    The reference always samples fantasy derivatives the GP itself
+    observes, so its noise vector has one entry per channel
+    (gpp_knowledge_gradient_optimization.cpp uses the GP's
+    noise_variance_ directly).  Here derivatives_to_sample may exceed
+    the GP's observed channels (derivative fantasies on a value-only
+    GP); missing channels reuse the value-channel noise rather than
+    silently mis-sizing the tile.
+    """
+    nv = state.noise_variance
+    if nv.shape[-1] < c:
+        pad = jnp.broadcast_to(nv[..., :1], nv.shape[:-1]
+                               + (c - nv.shape[-1],))
+        nv = jnp.concatenate([nv, pad], axis=-1)
+    return nv[..., :c]
+
+
 def _build_fantasy_model(state: GaussianProcessState, union: jax.Array,
                          derivatives_to_sample: Sequence[int] = ()
                          ) -> _FantasyModel:
@@ -117,7 +136,7 @@ def _build_fantasy_model(state: GaussianProcessState, union: jax.Array,
     mu_u = gp_mod.posterior_mean(state, union, ds).reshape(-1)
     var_u = linalg.symmetrize(gp_mod.posterior_variance(state, union, ds))
     q = union.shape[0]
-    noise = jnp.tile(state.noise_variance[:1 + len(ds)], q)
+    noise = jnp.tile(_channel_noise(state, 1 + len(ds)), q)
     # Low-precision guard: at large num_sampled the f32 posterior variance
     # carries cancellation error that can push diagonal entries slightly
     # negative; repair with a stop-gradient diagonal shift so the Cholesky
@@ -291,7 +310,7 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
                                  precision=linalg.HIGHEST)
     var_u = linalg.symmetrize(var_u)
 
-    noise = jnp.tile(state.noise_variance[:c], q)
+    noise = jnp.tile(_channel_noise(state, c), q)
     min_diag = jnp.min(jnp.diagonal(var_u, axis1=-2, axis2=-1), axis=-1)
     repair = lax.stop_gradient(jnp.maximum(0.0, -1.5 * min_diag))
     var_u = var_u + (noise[None, :] + repair[:, None])[..., None] * \

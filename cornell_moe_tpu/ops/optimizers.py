@@ -298,25 +298,39 @@ def gradient_ascent_batch(batched_value_and_grad: Callable, domain,
 
 def _chunked_multistart(run_batch: Callable, value_fn: Callable,
                         initial_points: jax.Array,
-                        chunk_size: Optional[int]) -> MultistartResult:
+                        chunk_size: Optional[int],
+                        with_aux: bool = False):
     """Dispatch restarts (whole or in sequential lax.map chunks), score the
-    endpoints with ``value_fn``, and argmax-select (NaN values lose)."""
+    endpoints with ``value_fn``, and argmax-select (NaN values lose).
+
+    ``with_aux``: ``run_batch`` returns ``(points, aux)`` and the result
+    is ``(MultistartResult, aux)`` with aux stacked per chunk — used by
+    the FLOP-accounting path to surface executed gated-step counts.
+    """
     n = initial_points.shape[0]
+    aux = None
     if chunk_size and n % chunk_size == 0 and n > chunk_size:
         chunked = initial_points.reshape(
             (n // chunk_size, chunk_size) + initial_points.shape[1:])
-        final_points = jax.lax.map(run_batch, chunked).reshape(
-            initial_points.shape)
+        if with_aux:
+            final_points, aux = jax.lax.map(run_batch, chunked)
+        else:
+            final_points = jax.lax.map(run_batch, chunked)
         values = jax.lax.map(
-            value_fn, final_points.reshape(chunked.shape)).reshape(-1)
+            value_fn, final_points).reshape(-1)
+        final_points = final_points.reshape(initial_points.shape)
     else:
-        final_points = run_batch(initial_points)
+        if with_aux:
+            final_points, aux = run_batch(initial_points)
+        else:
+            final_points = run_batch(initial_points)
         values = value_fn(final_points)
     safe_values = jnp.where(jnp.isfinite(values), values, -jnp.inf)
     best = jnp.argmax(safe_values)
-    return MultistartResult(best_point=final_points[best],
-                            best_value=values[best],
-                            all_points=final_points, all_values=values)
+    result = MultistartResult(best_point=final_points[best],
+                              best_value=values[best],
+                              all_points=final_points, all_values=values)
+    return (result, aux) if with_aux else result
 
 
 def multistart_optimize_batched(batched_value_and_grad: Callable, domain,
@@ -343,7 +357,8 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
                                      domain, initial_points: jax.Array,
                                      params: GradientDescentParameters,
                                      chunk_size: Optional[int] = None,
-                                     conv_tol: Optional[float] = None
+                                     conv_tol: Optional[float] = None,
+                                     return_stats: bool = False
                                      ) -> MultistartResult:
     """Multistart GD threading an inner-problem carry across outer steps.
 
@@ -366,6 +381,11 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
     returned average is always over a full trailing window.  With
     ``conv_tol=None`` (default) the fixed-depth scan path runs and
     results are bit-identical to previous behavior.
+
+    ``return_stats``: also return the number of executed warm-objective
+    evaluations per chunk, shape (n_chunks,) — XLA's cost analysis
+    counts each loop body once, so honest FLOP/MFU accounting needs
+    these measured trip counts (benchmarks/profile_mfu.py).
     """
     avg_n = max(int(params.num_steps_averaged), 0)
     use_avg = 0 < avg_n <= params.max_num_steps
@@ -398,7 +418,7 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
             traj = jnp.concatenate([x[None], traj], axis=0)
         if use_avg:
             xf = domain.clip(jnp.mean(traj[-avg_n:], axis=0))
-        return xf, carry
+        return xf, carry, jnp.asarray(num_steps - start_i, jnp.int32)
 
     def run_round_gated(x, carry, first_round):
         """run_round with the conv_tol while-loop early exit.
@@ -443,26 +463,32 @@ def multistart_optimize_batched_warm(bvg_cold: Callable, bvg_warm: Callable,
         i0 = jnp.asarray(float(start_i), x.dtype)
         norm0 = jnp.asarray(jnp.inf, x.dtype) + jnp.sum(x) * 0
         state = (i0, x, carry, buf, rows0, norm0)
-        _, xf, carry, buf, rows, _ = lax.while_loop(cond, body, state)
+        i_f, xf, carry, buf, rows, _ = lax.while_loop(cond, body, state)
         if use_avg:
             # rows >= width here (min_rows gate), so the buffer holds
             # exactly the last ``width`` trajectory rows
             xf = domain.clip(_trailing_window_mean(buf, rows, width))
-        return xf, carry
+        return xf, carry, (i_f - i0).astype(jnp.int32)
 
     round_fn = run_round if conv_tol is None else run_round_gated
 
     def run_batch(starts):
         if num_steps == 0:        # cold semantics: no update at all
-            return starts
+            return starts, jnp.asarray(0, jnp.int32)
         _, g0, carry = bvg_cold(starts)
         x = update(starts, g0, 0)
-        x, carry = round_fn(x, carry, True)
+        x, carry, n_evals = round_fn(x, carry, True)
         for _ in range(num_rounds - 1):
-            x, carry = round_fn(x, carry, False)
-        return x
+            x, carry, n = round_fn(x, carry, False)
+            n_evals = n_evals + n
+        return x, n_evals
 
-    return _chunked_multistart(run_batch, lambda c: bvg_cold(c)[0],
+    if return_stats:
+        return _chunked_multistart(run_batch, lambda c: bvg_cold(c)[0],
+                                   initial_points, chunk_size,
+                                   with_aux=True)
+    return _chunked_multistart(lambda s: run_batch(s)[0],
+                               lambda c: bvg_cold(c)[0],
                                initial_points, chunk_size)
 
 
