@@ -49,12 +49,17 @@ def run_part_a(small: bool):
     trajs = {name: [] for name, _, _ in methods}
     for name, method, sample_derivs in methods:
         for seed in seeds:
+            # standardize=True + noisy=True: the raw-scale 3-channel
+            # (value + both partials) block system is unconditionable in
+            # f32 with the 1e-8 noiseless nugget (every ensemble member
+            # factorization went non-finite without it); all methods
+            # share the config so the head-to-head stays fair
             bo = bo_mod.BayesianOptimizer(
                 objective_func=sf.BraninWithDerivatives(), method=method,
                 num_to_sample=4, n_hypers=16,
                 chain_length=100 if small else 1000,
                 burnin_steps=200 if small else 2000,
-                noisy=False, verbose=False, seed=seed,
+                noisy=True, standardize=True, verbose=False, seed=seed,
                 kg_sample_derivatives=sample_derivs)
             t0 = time.time()
             history = bo.run(num_iterations=iters, num_init_pts=12)
@@ -102,7 +107,7 @@ def run_part_b(small: bool):
                 num_to_sample=4, n_hypers=16,
                 chain_length=100 if small else 1000,
                 burnin_steps=200 if small else 2000,
-                noisy=False, verbose=False, seed=seed)
+                noisy=False, standardize=True, verbose=False, seed=seed)
             bo.initialize(num_init_pts=12)
             t0 = time.time()
             curve = []          # (capital, best recommended true value)

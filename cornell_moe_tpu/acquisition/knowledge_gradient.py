@@ -302,8 +302,13 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
             .reshape(b, q, c).at[:, :, 0].add(state.mean)
             .reshape(b, q_ch))
 
-    va = linalg.solve_lower_with_refinement(
-        state.chol_K, state.inv_chol_K, k_xu_flat).reshape(n_ch, b, q_ch)
+    # va = L^-1 k and w = K^-1 k in one linear-operator pair with a
+    # 2-matmul custom VJP (linalg.fantasy_solves) — reverse-mode through
+    # the refinement chains costs 6 transposed (N_ch, N_ch) matmuls per
+    # backward and dominated the d-KG per-evaluation FLOPs (MFU_r04)
+    va_flat, w_flat = linalg.fantasy_solves(
+        state.chol_K, state.inv_chol_K, k_xu_flat)
+    va = va_flat.reshape(n_ch, b, q_ch)
     prior_u = jax.vmap(lambda u: cov_mod.build_block_covariance(
         state.covariance, u, ds, u, ds))(unions)       # (B, q_ch, q_ch)
     var_u = prior_u - jnp.einsum("nbi,nbj->bij", va, va,
@@ -317,12 +322,10 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
         jnp.eye(q_ch, dtype=var_u.dtype)
     chol_u = linalg.cholesky_small(var_u)              # (B, q_ch, q_ch)
 
-    # w = K^-1 k = L^-T va, reusing the refined va (saves a full
-    # cho_solve refinement chain: 3 matmuls instead of 6)
-    va_flat = va.reshape(n_ch, b * q_ch)
-    w0 = linalg.hdot(state.inv_chol_K.T, va_flat)
-    r2 = va_flat - linalg.hdot(state.chol_K.T, w0)
-    w = (w0 + linalg.hdot(state.inv_chol_K.T, r2)).reshape(n_ch, b, q_ch)
+    # w = K^-1 k = L^-T va came out of the same fantasy_solves pair
+    # (refined va reused: 3 forward matmuls instead of a 6-matmul
+    # cho_solve chain, and the pair's 2-matmul backward)
+    w = w_flat.reshape(n_ch, b, q_ch)
     v = jnp.swapaxes(linalg.solve_triangular_small(
         chol_u, jnp.swapaxes(jnp.moveaxis(w, 1, 0), -1, -2)), -1, -2)
     noise_eff = noise[None, :] + repair[:, None]

@@ -231,6 +231,15 @@ class BayesianOptimizer:
     # gaussian_process_mcmc.derivatives() into the KG state); set False
     # to fantasize value channels only on derivative-observation problems
     kg_sample_derivatives: bool = True
+    # train the GP ensemble on (y - mean)/std of the observed values
+    # (derivative channels scale by 1/std).  Off by default for parity
+    # with the reference's raw-unit f64 driver; REQUIRED in practice for
+    # f32 TPU runs on raw-scale objectives with derivative observations
+    # (the 3-channel block system goes non-finite otherwise — see
+    # models/mcmc.GaussianProcessLogLikelihoodMCMC).  Reported VOI is
+    # scaled back to raw units; recommended points are unaffected
+    # (argmin is affine-invariant).
+    standardize: bool = False
     # -- multi-chip scale-out ---------------------------------------------
     # n_devices builds a restart-axis mesh over the first n JAX devices
     # (or pass an explicit jax.sharding.Mesh): the KG/q-EI multistarts,
@@ -302,7 +311,7 @@ class BayesianOptimizer:
             n_hypers=self.n_hypers, noisy=self.noisy,
             kernel_name=self.kernel_name, rng_key=self._next_key(),
             bucket=self.shape_bucket, mesh=self.mesh,
-            mesh_axis=self.mesh_axis)
+            mesh_axis=self.mesh_axis, standardize=self.standardize)
         t0 = time.time()
         self.model.train()
         self._log(f"initial training took {time.time() - t0:.2f}s on "
@@ -363,7 +372,9 @@ class BayesianOptimizer:
             pts, voi = prog(self._next_key(), self._next_key(), states)
         else:
             pts, voi = prog(self._next_key(), states)
-        pts, voi = np.asarray(pts), float(voi)
+        # VOI back to raw units (KG/EI are linear in the value scale)
+        scale = getattr(self.model, "value_scale", 1.0)
+        pts, voi = np.asarray(pts), float(voi) * scale
         self._log(f"{self.method} suggest took {time.time() - t0:.2f}s, "
                   f"VOI {voi:.6f}")
         return pts, voi

@@ -214,8 +214,26 @@ class GaussianProcessLogLikelihoodMCMC:
                  burnin_steps: int = 2000, n_hypers: int = 16,
                  noisy: bool = True, kernel_name: str = "matern_2.5",
                  rng_key: Optional[jax.Array] = None, bucket: int = 0,
-                 mesh=None, mesh_axis: str = "restarts"):
+                 mesh=None, mesh_axis: str = "restarts",
+                 standardize: bool = False):
         self._data = historical_data
+        # f32 robustness: train on (y - mean) / std of the VALUE channel
+        # (derivative channels scale by 1/std; they are translation-
+        # invariant).  Raw-scale objectives push the chain to amplitudes
+        # ~ y_var where the noiseless 1e-8 nugget is ~1e-12 RELATIVE and
+        # single-precision Cholesky factorizations go non-finite (the
+        # ensemble-repair path, and — on block systems with derivative
+        # channels — a total failure).  The reference never needs this
+        # because its C++ core is f64 end-to-end; the DefaultPrior's
+        # Normal(0,1) log-amplitude prior ASSUMES standardized data
+        # (base_prior.py heritage), so this also makes the prior
+        # well-matched.  HistoricalData stays in RAW units (checkpoints,
+        # print_historical_data); only the training targets are scaled.
+        # value_mean/value_scale expose the affine map for callers that
+        # report model-unit quantities (VOI) in raw units.
+        self.standardize = standardize
+        self.value_mean = 0.0
+        self.value_scale = 1.0
         # optional device mesh: walker log-posterior evaluations (the
         # chain's only expensive part, one Cholesky per walker) shard
         # across devices; the stretch-move bookkeeping stays replicated.
@@ -249,9 +267,30 @@ class GaussianProcessLogLikelihoodMCMC:
         self._noises = None
 
     # -- log posterior ----------------------------------------------------
+    def _scaled_values(self):
+        """Training targets, standardized when enabled (raw otherwise).
+
+        Updates ``value_mean``/``value_scale`` from the current data so
+        every retrain re-centers (the affine map is re-estimated as
+        observations accrue, like spearmint-style standardization).
+        """
+        y = np.asarray(self._data.points_sampled_value, dtype=float)
+        if y.ndim == 1:
+            y = y[:, None]
+        if not self.standardize:
+            return y
+        mu = float(y[:, 0].mean())
+        sigma = float(y[:, 0].std())
+        if not np.isfinite(sigma) or sigma < 1e-12:
+            sigma = 1.0
+        self.value_mean, self.value_scale = mu, sigma
+        scaled = y / sigma
+        scaled[:, 0] = (y[:, 0] - mu) / sigma
+        return scaled
+
     def _padded_data(self):
         x = self._data.points_sampled
-        y = self._data.points_sampled_value
+        y = self._scaled_values()
         if self.bucket > 1:
             target = bucket_size(x.shape[0], self.bucket)
             x, y, point_noise, _ = pad_training_data(x, y, target)
@@ -508,10 +547,11 @@ class GaussianProcessLogLikelihoodMCMC:
             noises = lin[:, self.dim + 1:]
         else:
             noises = np.full((lin.shape[0], num_noise), NOISELESS_VALUE)
+        values = self._scaled_values()
         models = fit_gp_ensemble(
             self.kernel_name, jnp.asarray(cov_hypers),
             jnp.asarray(noises), self._data.points_sampled,
-            self._data.points_sampled_value, self._derivatives,
+            values, self._derivatives,
             bucket=self.bucket)
         # f32 robustness: on raw-scale (unstandardized) objectives the
         # chain legitimately visits large amplitudes (K diagonal ~1e4+),
@@ -529,8 +569,9 @@ class GaussianProcessLogLikelihoodMCMC:
                 raise FloatingPointError(
                     "every ensemble member's covariance factorization is "
                     "non-finite; the objective's value scale likely "
-                    "exceeds single-precision range — standardize the "
-                    "observed values")
+                    "exceeds single-precision range — pass "
+                    "standardize=True (model/driver option) or "
+                    "standardize the observed values yourself")
             good = np.where(~bad)[0]
             repl = good[np.arange(int(bad.sum())) % len(good)]
             logging.getLogger("cornell_moe_tpu").warning(
@@ -543,7 +584,7 @@ class GaussianProcessLogLikelihoodMCMC:
             models = fit_gp_ensemble(
                 self.kernel_name, jnp.asarray(cov_hypers),
                 jnp.asarray(noises), self._data.points_sampled,
-                self._data.points_sampled_value, self._derivatives,
+                values, self._derivatives,
                 bucket=self.bucket)
         self._hypers, self._noises = cov_hypers, noises
         self._models = models
@@ -576,5 +617,5 @@ class GaussianProcessLogLikelihoodMCMC:
             self._models = fit_gp_ensemble(
                 self.kernel_name, jnp.asarray(self._hypers),
                 jnp.asarray(self._noises), self._data.points_sampled,
-                self._data.points_sampled_value, self._derivatives,
+                self._scaled_values(), self._derivatives,
                 bucket=self.bucket)

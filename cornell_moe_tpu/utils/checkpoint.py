@@ -43,6 +43,8 @@ def save_checkpoint(path: str, historical_data, mcmc_model=None,
             "kernel_name": mcmc_model.kernel_name,
             "derivatives": list(mcmc_model.derivatives),
             "bucket": mcmc_model.bucket,
+            "standardize": bool(getattr(mcmc_model, "standardize",
+                                        False)),
         }
         if mcmc_model.p0 is not None:
             arrays["mcmc_walker_positions"] = np.asarray(mcmc_model.p0)
@@ -103,7 +105,8 @@ def restore_mcmc_model(path: str, prior=None, rng_key=None,
         noisy=cfg["noisy"], kernel_name=cfg["kernel_name"],
         rng_key=rng_key if rng_key is not None else
         jnp.asarray(arrays["mcmc_key"]),
-        bucket=int(cfg.get("bucket", 0)))
+        bucket=int(cfg.get("bucket", 0)),
+        standardize=bool(cfg.get("standardize", False)))
     model.burned = cfg["burned"]
     if "mcmc_walker_positions" in arrays:
         model.p0 = jnp.asarray(arrays["mcmc_walker_positions"])

@@ -447,3 +447,70 @@ def test_finalize_repairs_nonfinite_member_fits(rng, monkeypatch):
     ll.hypers[:, 0] = np.log(sentinel)
     with pytest.raises(FloatingPointError):
         ll._finalize_models()
+
+
+def test_standardize_trains_on_scaled_targets(rng):
+    """standardize=True: raw-scale y trains like its standardized copy.
+
+    The model must (a) expose the affine map (value_mean/value_scale),
+    (b) produce posterior means in SCALED units that match a manually
+    standardized twin run bit-for-bit given the same rng key, and
+    (c) keep HistoricalData in raw units.
+    """
+    x = rng.random((14, 1)) * 4 - 2
+    y_raw = 300.0 + 120.0 * np.sin(2 * x[:, 0]) \
+        + 1.0 * rng.standard_normal(14)
+
+    data_raw = HistoricalData(dim=1)
+    data_raw.append_historical_data(x, y_raw)
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data_raw, chain_length=60, burnin_steps=60, n_hypers=8,
+        noisy=True, rng_key=jax.random.PRNGKey(3), standardize=True)
+    ll.train()
+    mu_hat, sigma_hat = ll.value_mean, ll.value_scale
+    np.testing.assert_allclose(mu_hat, y_raw.mean(), rtol=1e-12)
+    np.testing.assert_allclose(sigma_hat, y_raw.std(), rtol=1e-12)
+    # raw data untouched
+    np.testing.assert_array_equal(
+        np.asarray(data_raw.points_sampled_value)[:, 0], y_raw)
+
+    data_scaled = HistoricalData(dim=1)
+    data_scaled.append_historical_data(x, (y_raw - mu_hat) / sigma_hat)
+    ll2 = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data_scaled, chain_length=60, burnin_steps=60, n_hypers=8,
+        noisy=True, rng_key=jax.random.PRNGKey(3), standardize=False)
+    ll2.train()
+    np.testing.assert_allclose(np.asarray(ll.hypers),
+                               np.asarray(ll2.hypers), rtol=1e-12)
+
+    from cornell_moe_tpu.models import gp as gp_mod
+    xt = jnp.asarray(np.linspace(-2, 2, 5)[:, None])
+    mus = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(ll.models))
+    mus2 = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(ll2.models))
+    np.testing.assert_allclose(mus, mus2, rtol=1e-12, atol=1e-12)
+    # scaled-unit predictions map back to the raw scale
+    raw_pred = mus[:, :, 0].mean(0) * sigma_hat + mu_hat
+    assert np.corrcoef(raw_pred,
+                       300.0 + 120.0 * np.sin(2 * xt[:, 0]))[0, 1] > 0.9
+
+
+def test_standardize_scales_derivative_channels(rng):
+    """Derivative channels scale by 1/std with no mean shift."""
+    x = np.sort(rng.random(10))[:, None] * 2
+    f = 50.0 + 20.0 * x[:, 0] ** 2
+    g = 40.0 * x[:, 0]
+    data = HistoricalData(dim=1, num_derivatives=1)
+    data.append_historical_data(
+        x, np.stack([f, g], axis=1), np.full(10, 1e-6))
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, derivatives=(0,), chain_length=40, burnin_steps=40,
+        n_hypers=8, noisy=True, rng_key=jax.random.PRNGKey(5),
+        standardize=True)
+    scaled = ll._scaled_values()
+    np.testing.assert_allclose(scaled[:, 0],
+                               (f - f.mean()) / f.std(), rtol=1e-12)
+    np.testing.assert_allclose(scaled[:, 1], g / f.std(), rtol=1e-12)
+    ll.train()
+    assert ll.is_trained

@@ -1,0 +1,81 @@
+"""linalg policy-layer tests: the fantasy_solves custom-VJP pair.
+
+The forward must be bit-identical to the refinement chains it replaced
+(the KG estimator VALUES are unchanged); the backward applies the
+unrefined operator transposes, which in f64 sits ~10 orders below the
+FD tolerances the KG gradient pings use (documented in
+ops/linalg.fantasy_solves).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cornell_moe_tpu.ops import linalg
+
+
+def _spd_system(rng, n=40, rhs_cols=7):
+    a = rng.standard_normal((n, n))
+    k = a @ a.T + n * np.eye(n)
+    chol = jnp.asarray(np.linalg.cholesky(k))
+    inv_chol = jnp.asarray(np.linalg.inv(np.asarray(chol)))
+    rhs = jnp.asarray(rng.standard_normal((n, rhs_cols)))
+    return chol, inv_chol, rhs
+
+
+def test_fantasy_solves_forward_matches_refinement_chains(rng):
+    chol, inv_chol, rhs = _spd_system(rng)
+    va, w = linalg.fantasy_solves(chol, inv_chol, rhs)
+
+    va_ref = linalg.solve_lower_with_refinement(chol, inv_chol, rhs)
+    w0 = linalg.hdot(inv_chol.T, va_ref)
+    r2 = va_ref - linalg.hdot(chol.T, w0)
+    w_ref = w0 + linalg.hdot(inv_chol.T, r2)
+
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(va_ref))
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
+    # and both are accurate solves
+    np.testing.assert_allclose(np.asarray(chol @ va), np.asarray(rhs),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chol @ (chol.T @ w)),
+                               np.asarray(rhs), rtol=1e-10, atol=1e-10)
+
+
+def test_fantasy_solves_vjp_matches_exact_transpose(rng):
+    chol, inv_chol, rhs = _spd_system(rng)
+
+    def via_pair(r):
+        va, w = linalg.fantasy_solves(chol, inv_chol, r)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    def via_chains(r):
+        va = linalg.solve_lower_with_refinement(chol, inv_chol, r)
+        w0 = linalg.hdot(inv_chol.T, va)
+        r2 = va - linalg.hdot(chol.T, w0)
+        w = w0 + linalg.hdot(inv_chol.T, r2)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    g_pair = jax.grad(via_pair)(rhs)
+    g_exact = jax.grad(via_chains)(rhs)
+    np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_exact),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_fantasy_solves_vjp_under_vmap(rng):
+    systems = [_spd_system(rng) for _ in range(3)]
+    chols = jnp.stack([s[0] for s in systems])
+    invs = jnp.stack([s[1] for s in systems])
+    rhss = jnp.stack([s[2] for s in systems])
+
+    def scalar(c, ic, r):
+        va, w = linalg.fantasy_solves(c, ic, r)
+        return jnp.sum(va * va) + jnp.sum(w)
+
+    vals = jax.vmap(scalar)(chols, invs, rhss)
+    grads = jax.vmap(jax.grad(scalar, argnums=2))(chols, invs, rhss)
+    singles_v = [scalar(*s) for s in systems]
+    singles_g = [jax.grad(scalar, argnums=2)(*s) for s in systems]
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(singles_v),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grads), np.stack(
+        [np.asarray(g) for g in singles_g]), rtol=1e-9, atol=1e-11)
