@@ -53,12 +53,17 @@ def run_part_a(small: bool):
             # (value + both partials) block system is unconditionable in
             # f32 with the 1e-8 noiseless nugget (every ensemble member
             # factorization went non-finite without it); all methods
-            # share the config so the head-to-head stays fair
+            # share the config so the head-to-head stays fair.
+            # shape_bucket=64 pads every iteration (12..52 obs) into ONE
+            # program-shape family — tunnel compiles, not device compute,
+            # dominate these small-n campaigns.  --small keeps the full
+            # run's chain/bucket so it PRE-WARMS the persistent compile
+            # cache with exactly the programs the full run dispatches.
             bo = bo_mod.BayesianOptimizer(
                 objective_func=sf.BraninWithDerivatives(), method=method,
                 num_to_sample=4, n_hypers=16,
-                chain_length=100 if small else 1000,
-                burnin_steps=200 if small else 2000,
+                chain_length=1000, burnin_steps=2000,
+                shape_bucket=64,
                 noisy=True, standardize=True, verbose=False, seed=seed,
                 kg_sample_derivatives=sample_derivs)
             t0 = time.time()
@@ -105,8 +110,8 @@ def run_part_b(small: bool):
             bo = bo_mod.BayesianOptimizer(
                 objective_func=objective(), method=method,
                 num_to_sample=4, n_hypers=16,
-                chain_length=100 if small else 1000,
-                burnin_steps=200 if small else 2000,
+                chain_length=1000, burnin_steps=2000,
+                shape_bucket=64,
                 noisy=False, standardize=True, verbose=False, seed=seed)
             bo.initialize(num_init_pts=12)
             t0 = time.time()
