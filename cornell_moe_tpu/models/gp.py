@@ -122,7 +122,12 @@ def fit_gp(covariance: StationaryCovariance, noise_variance,
         jnp.asarray(point_noise, x.dtype) + noise[None, :]
     k = cov_mod.build_covariance_matrix_with_noise(
         covariance, x, derivatives, total_noise)
-    chol = linalg.cholesky(k, jitter=jitter)
+    if isinstance(jitter, (int, float)):
+        chol = linalg.cholesky(k, jitter=jitter)
+    else:
+        # traced per-walker jitter (the f32 ensemble-fit policy scales it
+        # by the walker's amplitude hyperparameter)
+        chol = linalg.cholesky(linalg.add_jitter(k, jitter))
 
     if mean is None:
         mean = jnp.mean(y[:, 0])

@@ -177,7 +177,20 @@ def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
 
     def one(h, nv):
         cov = cov_mod.COVARIANCE_TYPES[kernel_name](hyperparameters=h)
-        return gp_mod.fit_gp(cov, nv, xj, yj, derivatives, jitter=jitter,
+        jit_w = jitter
+        if xj.dtype == jnp.float32:
+            # f32 conditioning floor (config.F32_CHOLESKY_JITTER,
+            # relative via the walker's amplitude): walkers that visit
+            # near-noiseless hypers with domain-sized lengthscales
+            # produce block matrices whose f32 Cholesky goes non-finite
+            # — on derivative-channel systems MOST of the ensemble
+            # (13/16 measured on BraninWithDerivatives at 52 obs) —
+            # which the repair path can only paper over.  1e-6 relative
+            # is below every f32 test tolerance and exactly zero in the
+            # f64 parity suite.
+            from cornell_moe_tpu.config import F32_CHOLESKY_JITTER
+            jit_w = jitter + F32_CHOLESKY_JITTER * h[0]
+        return gp_mod.fit_gp(cov, nv, xj, yj, derivatives, jitter=jit_w,
                              point_noise=point_noise, mean=mean)
 
     return jax.vmap(one)(jnp.asarray(hypers), jnp.asarray(noises))
