@@ -29,6 +29,13 @@ from scipy.optimize import minimize
 
 
 def main():
+    # CPU-only workload: force the CPU platform AFTER importing jax
+    # (tests/conftest.py convention; env vars are overridden by the
+    # ambient sitecustomize) so the objective's closures never allocate
+    # on the tunnel device
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     from cornell_moe_tpu.utils.real_functions import KISSGP
 
     obj = KISSGP(with_gradients=True)
