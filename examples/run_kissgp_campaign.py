@@ -38,9 +38,12 @@ def main(argv):
     log_path = os.path.join(art_dir, tag + ".log")
 
     f = KISSGP(with_gradients=with_grads)
+    # standardize: NLZ values span orders of magnitude over the domain
+    # and the gradient channels are raw-scale (f32 block-system hygiene,
+    # see models/mcmc.GaussianProcessLogLikelihoodMCMC)
     bo = BayesianOptimizer(
         objective_func=f, method="KG", num_to_sample=q, noisy=True,
-        seed=1, checkpoint_path=ckpt)
+        standardize=True, seed=1, checkpoint_path=ckpt)
     start_iteration = 0
     if resume:
         meta = bo.resume()
