@@ -179,7 +179,7 @@ def main():
     }), flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__),
-                            "DKG_BREAKDOWN_r04.json")
+                            "DKG_BREAKDOWN_r05.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)

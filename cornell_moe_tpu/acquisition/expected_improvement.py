@@ -92,7 +92,10 @@ def monte_carlo_expected_improvement(state: GaussianProcessState,
     # surrounding elementwise graph and autodiffs as plain ops
     chol = linalg.cholesky_small(
         linalg.add_jitter(var, config.EI_VARIANCE_JITTER))
-    samples = mu[None, :] + normals @ chol.T            # (n_mc, q+p)
+    # HIGHEST precision so this per-start path stays bit-identical to
+    # the batched estimator (which samples at HIGHEST) on TPU f32 —
+    # batch-vs-per-start equivalence must hold beyond the f64 CPU suite
+    samples = mu[None, :] + linalg.hdot(normals, chol.T)  # (n_mc, q+p)
     improvement = jnp.maximum(best_so_far - jnp.min(samples, axis=1), 0.0)
     return jnp.mean(improvement)
 
@@ -116,6 +119,36 @@ def expected_improvement_value_and_grad(state: GaussianProcessState,
 # Optimization endpoints
 # ---------------------------------------------------------------------------
 
+def expected_improvement_batch_value_and_grad(
+        state: GaussianProcessState, pts_batch: jax.Array,
+        points_being_sampled, best_so_far, normals):
+    """((B,), (B, q, dim)) single-GP q,p-EI values and per-start grads.
+
+    Lockstep-batched counterpart of
+    :func:`expected_improvement_value_and_grad` (one vjp over the wide
+    batched estimator; each start's value depends only on its own block,
+    so the summed cotangent IS the per-start gradient).
+    """
+    if points_being_sampled is not None and \
+            jnp.size(points_being_sampled):
+        being = jnp.atleast_2d(points_being_sampled)
+
+        def f(p):
+            unions = jnp.concatenate(
+                [p, jnp.broadcast_to(being, (p.shape[0],) + being.shape)],
+                axis=1)
+            return monte_carlo_expected_improvement_batch(
+                state, unions, best_so_far, normals)
+    else:
+        def f(p):
+            return monte_carlo_expected_improvement_batch(
+                state, p, best_so_far, normals)
+
+    vals, vjp = jax.vjp(f, pts_batch)
+    grads = vjp(jnp.ones_like(vals))[0]
+    return vals, grads
+
+
 def multistart_expected_improvement_optimization(
         key: jax.Array, state: GaussianProcessState, domain,
         num_to_sample: int,
@@ -124,7 +157,9 @@ def multistart_expected_improvement_optimization(
         num_mc_iterations: int = 1000,
         num_random_search: int = 0,
         use_analytic: Optional[bool] = None,
-        conv_tol=None) -> jax.Array:
+        conv_tol=None, use_batched: bool = True,
+        chunk_size=None, mesh=None,
+        mesh_axis: str = "restarts") -> jax.Array:
     """Suggest the q best points to sample next by maximizing q,p-EI.
 
     Counterpart of ComputeOptimalPointsToSample (gpp_math.hpp:2010) +
@@ -132,8 +167,17 @@ def multistart_expected_improvement_optimization(
     (cpp_wrappers/expected_improvement.py:22).  Analytic path for q=1, p=0
     (gpp_math.cpp:2196).  Returns (q, dim).
 
-    ``conv_tol``: optional per-start step-norm convergence gate on the
-    GD (see optimizers.gradient_ascent).
+    ``use_batched`` (default): run the lockstep-batched multistart —
+    wide-matmul MC estimator for q,p-EI, vmapped closed form for the
+    analytic path — which is what makes ``conv_tol`` effective as a
+    chunk-wide step-norm gate (gpp_optimization.hpp:667-671 semantics)
+    and lets ``mesh`` shard the restart axis across devices, the same
+    treatment the KG suggest and the seeding q-EI get.  Falls back to
+    the per-start vmapped GD when False or when ``num_random_search``
+    requests the dumb-search fallback.
+
+    ``conv_tol``: optional step-norm convergence gate on the GD
+    (chunk-wide on the batched path, per-start otherwise).
     """
     p = 0 if points_being_sampled is None else \
         jnp.atleast_2d(points_being_sampled).shape[0]
@@ -154,6 +198,9 @@ def multistart_expected_improvement_optimization(
             return jax.value_and_grad(
                 lambda q_pts: analytic_expected_improvement(
                     state, q_pts, best_so_far))(pts)
+
+        def bvg(pts_batch):
+            return jax.vmap(vg)(pts_batch)
     else:
         union_n = num_to_sample + p
         normals = draw_normals(key_mc, num_mc_iterations, union_n,
@@ -163,11 +210,26 @@ def multistart_expected_improvement_optimization(
             return expected_improvement_value_and_grad(
                 state, pts, points_being_sampled, best_so_far, normals)
 
+        def bvg(pts_batch):
+            return expected_improvement_batch_value_and_grad(
+                state, pts_batch, points_being_sampled, best_so_far,
+                normals)
+
     if num_random_search:
         search = rep.generate_latin_hypercube_points(
             key_search, num_random_search)
         result = optimizers.multistart_optimize_with_dumb_search_fallback(
             vg, rep, starts, search, params)
+    elif use_batched:
+        if mesh is not None:
+            from cornell_moe_tpu.parallel import sharding as shard_mod
+            result = shard_mod.sharded_multistart_optimize_batched_gated(
+                bvg, rep, starts, params, mesh, axis_name=mesh_axis,
+                chunk_size=chunk_size, conv_tol=conv_tol)
+        else:
+            result = optimizers.multistart_optimize_batched(
+                bvg, rep, starts, params, chunk_size=chunk_size,
+                conv_tol=conv_tol)
     else:
         result = optimizers.multistart_optimize(vg, rep, starts, params,
                                                 conv_tol=conv_tol)

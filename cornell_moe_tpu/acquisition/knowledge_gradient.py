@@ -303,10 +303,12 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
             .reshape(b, q_ch))
 
     # va = L^-1 k and w = K^-1 k in one linear-operator pair with a
-    # 2-matmul custom VJP (linalg.fantasy_solves) — reverse-mode through
-    # the refinement chains costs 6 transposed (N_ch, N_ch) matmuls per
-    # backward and dominated the d-KG per-evaluation FLOPs (MFU_r04)
-    va_flat, w_flat = linalg.fantasy_solves(
+    # 2-matmul custom VJP — reverse-mode through the refinement chains
+    # costs 6 transposed (N_ch, N_ch) matmuls per backward and dominated
+    # the d-KG per-evaluation FLOPs (MFU_r04).  The _rhs_grad_only
+    # contract is correct here: the GP factors are constants of the
+    # suggest program (only the union points are differentiated).
+    va_flat, w_flat = linalg.fantasy_solves_rhs_grad_only(
         state.chol_K, state.inv_chol_K, k_xu_flat)
     va = va_flat.reshape(n_ch, b, q_ch)
     prior_u = jax.vmap(lambda u: cov_mod.build_block_covariance(
@@ -322,7 +324,7 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
         jnp.eye(q_ch, dtype=var_u.dtype)
     chol_u = linalg.cholesky_small(var_u)              # (B, q_ch, q_ch)
 
-    # w = K^-1 k = L^-T va came out of the same fantasy_solves pair
+    # w = K^-1 k = L^-T va came out of the same solve pair
     # (refined va reused: 3 forward matmuls instead of a 6-matmul
     # cho_solve chain, and the pair's 2-matmul backward)
     w = w_flat.reshape(n_ch, b, q_ch)

@@ -47,11 +47,13 @@ DEFAULT_SGD_PARAMS_RECOMMEND = optimizers.GradientDescentParameters(
 
 
 def _qei_suggest_arrays(key, state, domain, params, num_to_sample,
-                        num_mc, conv_tol=None):
+                        num_mc, conv_tol=None, chunk_size=None,
+                        mesh=None, mesh_axis="restarts"):
     """Jit-safe body of :func:`gen_sample_from_qei` (array outputs)."""
     pts = ei_mod.multistart_expected_improvement_optimization(
         key, state, domain, num_to_sample, params,
-        num_mc_iterations=num_mc, conv_tol=conv_tol)
+        num_mc_iterations=num_mc, conv_tol=conv_tol,
+        chunk_size=chunk_size, mesh=mesh, mesh_axis=mesh_axis)
     key_eval = jax.random.fold_in(key, 1)
     voi = ei_mod.evaluate_expected_improvement_at_point_list(
         state, pts[None], key=key_eval, num_mc_iterations=num_mc)[0]
@@ -351,13 +353,18 @@ class BayesianOptimizer:
                     mesh=self.mesh, mesh_axis=self.mesh_axis)
         elif self.method == "EI":
             def run(k_sugg, states):
-                # ungated (single-GP vmapped per-start GD; conv_tol
-                # plumbing available to callers who measure a win on
-                # their problem)
+                # member 0 is reference parity (examples/main.py:208
+                # optimizes EI on a single GP); since round 5 the
+                # multistart runs the lockstep-batched path with the
+                # chunk-wide step-norm gate and the restart axis sharded
+                # over the mesh — the same treatment as KG suggest
                 member = mcmc_mod.ensemble_member(states, 0)
                 return _qei_suggest_arrays(
                     k_sugg, member, self.domain, self.sgd_params,
-                    self.num_to_sample, self.num_mc)
+                    self.num_to_sample, self.num_mc,
+                    conv_tol=self.suggest_conv_tol,
+                    chunk_size=self.suggest_chunk_size,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis)
         else:
             raise ValueError(f"method {self.method} not supported")
         prog = jax.jit(run)

@@ -278,27 +278,47 @@ class GaussianProcessLogLikelihoodMCMC:
         self.hypers = None
         self._hypers = None
         self._noises = None
+        # establish the initial affine map from the construction-time
+        # data (pre-train reads of _scaled_values / compute_log_likelihood
+        # see a well-defined map, not the identity placeholder)
+        self._refresh_value_affine()
 
     # -- log posterior ----------------------------------------------------
-    def _scaled_values(self):
-        """Training targets, standardized when enabled (raw otherwise).
+    def _refresh_value_affine(self) -> None:
+        """Re-estimate the standardization map from the current data.
 
-        Updates ``value_mean``/``value_scale`` from the current data so
-        every retrain re-centers (the affine map is re-estimated as
-        observations accrue, like spearmint-style standardization).
+        Called explicitly at every (re)fit boundary — train(),
+        optimize(), add_sampled_points() — never as a read-path side
+        effect, so ``value_mean``/``value_scale`` always describe the
+        map the CURRENTLY FITTED models were trained with (ADVICE r4):
+        a caller reading them between a data update and the next fit
+        sees the fitted map, not a half-updated one.
+        """
+        if not self.standardize:
+            return
+        y = np.asarray(self._data.points_sampled_value, dtype=float)
+        if y.ndim == 1:
+            y = y[:, None]
+        mu = float(y[:, 0].mean())
+        sigma = float(y[:, 0].std())
+        if not np.isfinite(sigma) or sigma < 1e-12:
+            sigma = 1.0
+        self.value_mean, self.value_scale = mu, sigma
+
+    def _scaled_values(self):
+        """Training targets under the CURRENT affine map (pure read).
+
+        The map itself is only updated by :meth:`_refresh_value_affine`
+        at fit boundaries (spearmint-style re-centering as observations
+        accrue happens there, once per retrain).
         """
         y = np.asarray(self._data.points_sampled_value, dtype=float)
         if y.ndim == 1:
             y = y[:, None]
         if not self.standardize:
             return y
-        mu = float(y[:, 0].mean())
-        sigma = float(y[:, 0].std())
-        if not np.isfinite(sigma) or sigma < 1e-12:
-            sigma = 1.0
-        self.value_mean, self.value_scale = mu, sigma
-        scaled = y / sigma
-        scaled[:, 0] = (y[:, 0] - mu) / sigma
+        scaled = y / self.value_scale
+        scaled[:, 0] = (y[:, 0] - self.value_mean) / self.value_scale
         return scaled
 
     def _padded_data(self):
@@ -477,6 +497,7 @@ class GaussianProcessLogLikelihoodMCMC:
 
     # -- training ---------------------------------------------------------
     def train(self, do_optimize: bool = True) -> None:
+        self._refresh_value_affine()
         if do_optimize:
             chain = self._chain_fn()
             x, y, point_noise = self._padded_data()
@@ -509,6 +530,7 @@ class GaussianProcessLogLikelihoodMCMC:
         from cornell_moe_tpu.ops import optimizers as opt_mod
         from cornell_moe_tpu.ops.domains import TensorProductDomain
 
+        self._refresh_value_affine()
         x, y, point_noise = self._padded_data()
         lp = self._log_posterior_with_data(force_xla=True)
         dtype = x.dtype
@@ -627,6 +649,7 @@ class GaussianProcessLogLikelihoodMCMC:
         train(); mirrors log_likelihood_mcmc.py:add_sampled_points."""
         self._data.append_sample_points(sampled_points)
         if self._models is not None:
+            self._refresh_value_affine()
             self._models = fit_gp_ensemble(
                 self.kernel_name, jnp.asarray(self._hypers),
                 jnp.asarray(self._noises), self._data.points_sampled,

@@ -93,8 +93,24 @@ def solve_lower_with_refinement(chol: jax.Array, inv_chol: jax.Array,
     return x
 
 
+def fantasy_solves_rhs_grad_only(chol: jax.Array, inv_chol: jax.Array,
+                                 rhs: jax.Array):
+    """(va, w) = (refined L^-1 rhs, refined K^-1 rhs); grads flow via rhs ONLY.
+
+    Contract (in the name): ``chol`` and ``inv_chol`` are treated as
+    constants — they receive ZERO cotangents, enforced here with
+    ``stop_gradient`` so differentiating the GP state through this helper
+    is declared non-differentiable rather than silently wrong.  Callers
+    that need state gradients must use the plain refinement chains.
+    See :func:`_fantasy_solves_pair` for the cheap-VJP rationale.
+    """
+    return _fantasy_solves_pair(lax.stop_gradient(chol),
+                                lax.stop_gradient(inv_chol), rhs)
+
+
 @jax.custom_vjp
-def fantasy_solves(chol: jax.Array, inv_chol: jax.Array, rhs: jax.Array):
+def _fantasy_solves_pair(chol: jax.Array, inv_chol: jax.Array,
+                         rhs: jax.Array):
     """(va, w) = (refined L^-1 rhs, refined K^-1 rhs) with a cheap VJP.
 
     The KG fantasy build needs both the whitened cross-covariance
@@ -140,12 +156,12 @@ def _fantasy_solves_bwd(res, cts):
     ct_va, ct_w = cts
     ct_va_total = ct_va + hdot(inv_chol, ct_w)
     ct_rhs = hdot(inv_chol.T, ct_va_total)
-    # state factors are never differentiated on this path; the zeros are
-    # DCE'd by XLA when (as always) their cotangents are unused
+    # factor cotangents are zero BY CONTRACT (the public wrapper
+    # stop_gradients them); the zeros are DCE'd by XLA
     return jnp.zeros_like(chol), jnp.zeros_like(inv_chol), ct_rhs
 
 
-fantasy_solves.defvjp(_fantasy_solves_fwd, _fantasy_solves_bwd)
+_fantasy_solves_pair.defvjp(_fantasy_solves_fwd, _fantasy_solves_bwd)
 
 
 def cho_solve_with_refinement(chol: jax.Array, inv_chol: jax.Array,

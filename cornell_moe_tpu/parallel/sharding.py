@@ -137,7 +137,14 @@ def sharded_multistart_optimize_batched_gated(
     (chunking + the step-norm conv_tol gate, gpp_optimization.hpp:667-671
     semantics) on its shard of the restart axis.  Equivalence to a
     single-device run holds when ``chunk_size`` matches the chunking used
-    there (defaults to one chunk per device shard).
+    there (defaults to one chunk per device shard) AND
+    ``num_multistarts % n_devices == 0``: when starts don't divide the
+    mesh, the trailing shard is edge-padded with duplicates of the last
+    start (whose deterministic trajectories contribute step norms
+    identical to the original's, so the duplicates themselves never move
+    the gate's max) but the shard *grouping* of the gate's max-reduction
+    no longer matches any single-device chunking, so per-start results
+    may differ within conv_tol-sized slack (ADVICE r4).
     """
     n_dev = mesh.shape[axis_name]
     padded, n_valid = pad_to_multiple(initial_points, n_dev)
@@ -179,7 +186,13 @@ def sharded_multistart_optimize_batched_warm(
     the per-device shard size (the gate's max-reduction then spans the
     same start groups in both programs); smaller chunk sizes divide each
     shard further and still match a single-device run using the same
-    chunking.  Defaults to one chunk per device shard.
+    chunking.  Defaults to one chunk per device shard.  As in the gated
+    variant, exactness additionally requires
+    ``num_multistarts % n_devices == 0`` — otherwise the trailing shard
+    is edge-padded (duplicate lanes contribute identical step norms, so
+    they never move the gate's max, but the gate's start-grouping then
+    matches no single-device chunking; divergence is bounded by the
+    conv_tol slack) (ADVICE r4).
     """
     n_dev = mesh.shape[axis_name]
     padded, n_valid = pad_to_multiple(initial_points, n_dev)

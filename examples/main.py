@@ -29,7 +29,12 @@ def main(argv):
     argv = list(argv)
     for a in list(argv):
         if a.startswith("--devices"):
-            n_devices = int(a.split("=", 1)[1]) if "=" in a else None
+            if "=" not in a:
+                # the space-separated form would silently drop the flag
+                # AND shift the positional args — reject it loudly
+                print("--devices requires '=': use --devices=N")
+                return 1
+            n_devices = int(a.split("=", 1)[1])
             argv.remove(a)
     if len(argv) < 5:
         print(__doc__)

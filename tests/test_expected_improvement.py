@@ -328,3 +328,92 @@ def test_batched_qei_gate_unreachable_tol_is_exact(rng):
         jax.random.PRNGKey(5), states, dom, 2, params,
         num_mc_iterations=32, use_batched=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Lockstep-batched single-GP q-EI (the round-5 EI-driver path)
+# ---------------------------------------------------------------------------
+
+def test_single_gp_batched_qei_matches_per_start(rng):
+    """expected_improvement_batch_value_and_grad == per-start values and
+    grads on one GP (the member-0 estimator the EI driver optimizes)."""
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    states, x, y = _ensemble(rng)
+    s0 = mcmc_mod.ensemble_member(states, 0)
+    bsf = s0.best_observed_value
+    normals = ei.draw_normals(jax.random.PRNGKey(1), 64, 2)
+    pts = jnp.asarray(rng.random((5, 2, 2)))
+    vals, grads = ei.expected_improvement_batch_value_and_grad(
+        s0, pts, None, bsf, normals)
+    per_vals, per_grads = jax.vmap(
+        lambda p: ei.expected_improvement_value_and_grad(
+            s0, p, None, bsf, normals))(pts)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(per_vals),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(per_grads),
+                               rtol=1e-10, atol=1e-13)
+
+    # with points_being_sampled
+    being = jnp.asarray(rng.random((1, 2)))
+    normals3 = ei.draw_normals(jax.random.PRNGKey(2), 64, 3)
+    v2, g2 = ei.expected_improvement_batch_value_and_grad(
+        s0, pts, being, bsf, normals3)
+    pv2, pg2 = jax.vmap(
+        lambda p: ei.expected_improvement_value_and_grad(
+            s0, p, being, bsf, normals3))(pts)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(pv2),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(pg2),
+                               rtol=1e-10, atol=1e-13)
+
+
+def test_single_gp_batched_endpoint_matches_vmapped(rng):
+    """multistart_expected_improvement_optimization use_batched=True (the
+    round-5 default) lands on the same suggestion as the vmapped path —
+    for both the MC (q=2) and analytic (q=1) objectives."""
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    states, x, y = _ensemble(rng)
+    s0 = mcmc_mod.ensemble_member(states, 0)
+    dom = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=8, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    for q in (1, 2):
+        a = ei.multistart_expected_improvement_optimization(
+            jax.random.PRNGKey(5), s0, dom, q, params,
+            num_mc_iterations=64, use_batched=True)
+        b = ei.multistart_expected_improvement_optimization(
+            jax.random.PRNGKey(5), s0, dom, q, params,
+            num_mc_iterations=64, use_batched=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_single_gp_ei_sharded_matches_single_device(rng):
+    """The EI suggest multistart sharded over the 8-device mesh (gated,
+    chunk matched) == single-device — the EI-mode counterpart of the KG
+    sharding consistency tests (VERDICT r4 item 6)."""
+    import jax as _jax
+    from cornell_moe_tpu.models import mcmc as mcmc_mod
+    from cornell_moe_tpu.parallel import sharding as shard_mod
+    assert len(_jax.devices()) >= 8
+    mesh = shard_mod.default_mesh(8)
+    states, x, y = _ensemble(rng)
+    s0 = mcmc_mod.ensemble_member(states, 0)
+    dom = TensorProductDomain.from_bounds([[0.0, 1.0], [0.0, 1.0]])
+    params = optimizers.GradientDescentParameters(
+        num_multistarts=16, max_num_steps=6, max_num_restarts=1,
+        num_steps_averaged=3, gamma=0.7, pre_mult=0.3,
+        max_relative_change=0.5)
+    for q in (1, 2):
+        single = ei.multistart_expected_improvement_optimization(
+            jax.random.PRNGKey(5), s0, dom, q, params,
+            num_mc_iterations=64, conv_tol=3e-3, chunk_size=2)
+        sharded = ei.multistart_expected_improvement_optimization(
+            jax.random.PRNGKey(5), s0, dom, q, params,
+            num_mc_iterations=64, conv_tol=3e-3, chunk_size=2,
+            mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(single), rtol=1e-11,
+                                   atol=1e-12)

@@ -1,10 +1,13 @@
-"""linalg policy-layer tests: the fantasy_solves custom-VJP pair.
+"""linalg policy-layer tests: the fantasy-solve custom-VJP pair.
 
 The forward must be bit-identical to the refinement chains it replaced
 (the KG estimator VALUES are unchanged); the backward applies the
 unrefined operator transposes, which in f64 sits ~10 orders below the
 FD tolerances the KG gradient pings use (documented in
-ops/linalg.fantasy_solves).
+ops/linalg.fantasy_solves_rhs_grad_only).  The public wrapper's contract
+is grads-via-rhs-ONLY: the GP factors are stop_gradient'ed so a caller
+differentiating the state sees an explicit zero, never a silently wrong
+nonzero.
 """
 
 import jax
@@ -25,7 +28,7 @@ def _spd_system(rng, n=40, rhs_cols=7):
 
 def test_fantasy_solves_forward_matches_refinement_chains(rng):
     chol, inv_chol, rhs = _spd_system(rng)
-    va, w = linalg.fantasy_solves(chol, inv_chol, rhs)
+    va, w = linalg.fantasy_solves_rhs_grad_only(chol, inv_chol, rhs)
 
     va_ref = linalg.solve_lower_with_refinement(chol, inv_chol, rhs)
     w0 = linalg.hdot(inv_chol.T, va_ref)
@@ -45,7 +48,7 @@ def test_fantasy_solves_vjp_matches_exact_transpose(rng):
     chol, inv_chol, rhs = _spd_system(rng)
 
     def via_pair(r):
-        va, w = linalg.fantasy_solves(chol, inv_chol, r)
+        va, w = linalg.fantasy_solves_rhs_grad_only(chol, inv_chol, r)
         return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
 
     def via_chains(r):
@@ -61,6 +64,52 @@ def test_fantasy_solves_vjp_matches_exact_transpose(rng):
                                rtol=1e-9, atol=1e-11)
 
 
+def test_fantasy_solves_vjp_f32_tolerance(rng):
+    """The unrefined-transpose backward stays within f32 noise of exact.
+
+    The parity suite runs f64; this pins the f32 behaviour the TPU path
+    actually sees (ADVICE r4 item 1): the approximation error must sit
+    at refinement-sized f32 noise, far below the 2e-2 FD tolerances the
+    KG gradient pings use.
+    """
+    chol, inv_chol, rhs = (a.astype(jnp.float32) for a in _spd_system(rng))
+
+    def via_pair(r):
+        va, w = linalg.fantasy_solves_rhs_grad_only(chol, inv_chol, r)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    def via_chains(r):
+        va = linalg.solve_lower_with_refinement(chol, inv_chol, r)
+        w0 = linalg.hdot(inv_chol.T, va)
+        r2 = va - linalg.hdot(chol.T, w0)
+        w = w0 + linalg.hdot(inv_chol.T, r2)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    g_pair = jax.grad(via_pair)(rhs)
+    g_exact = jax.grad(via_chains)(rhs)
+    scale = float(jnp.max(jnp.abs(g_exact)))
+    np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_exact),
+                               rtol=0, atol=1e-4 * scale)
+
+
+def test_fantasy_solves_factor_grads_are_zero_by_contract(rng):
+    """Differentiating the factors yields exact zeros, never garbage.
+
+    The wrapper stop_gradients chol/inv_chol: state-differentiating
+    callers get a declared zero (and must use the plain refinement
+    chains instead), not a silently-wrong nonzero cotangent.
+    """
+    chol, inv_chol, rhs = _spd_system(rng)
+
+    def loss(c, ic):
+        va, w = linalg.fantasy_solves_rhs_grad_only(c, ic, rhs)
+        return jnp.sum(va * va) + jnp.sum(w)
+
+    g_chol, g_inv = jax.grad(loss, argnums=(0, 1))(chol, inv_chol)
+    np.testing.assert_array_equal(np.asarray(g_chol), 0.0)
+    np.testing.assert_array_equal(np.asarray(g_inv), 0.0)
+
+
 def test_fantasy_solves_vjp_under_vmap(rng):
     systems = [_spd_system(rng) for _ in range(3)]
     chols = jnp.stack([s[0] for s in systems])
@@ -68,7 +117,7 @@ def test_fantasy_solves_vjp_under_vmap(rng):
     rhss = jnp.stack([s[2] for s in systems])
 
     def scalar(c, ic, r):
-        va, w = linalg.fantasy_solves(c, ic, r)
+        va, w = linalg.fantasy_solves_rhs_grad_only(c, ic, r)
         return jnp.sum(va * va) + jnp.sum(w)
 
     vals = jax.vmap(scalar)(chols, invs, rhss)
