@@ -228,6 +228,16 @@ class BayesianOptimizer:
     suggest_conv_tol: Optional[float] = 3e-3
     # convergence gate for the seeding q-EI GD (chunk-wide, batched path)
     seed_conv_tol: Optional[float] = 3e-3
+    # convergence gate for the post-burn-in MCMC retrain chain:
+    # chain_length stays the CAP and each retrain exits at measured
+    # equilibration of the ensemble-mean log-posterior (see
+    # models/mcmc.run_ensemble_mcmc_gated).  None = full fixed-length
+    # chain (reference parity).  The default 1.0 stops when the
+    # per-block drift falls below the ensemble-mean's own standard
+    # error — sampler-statistics parity tests
+    # (tests/test_likelihood_mcmc.py) and the r05 head-to-head evidence
+    # (docs/retrain_gate_r05.md) back the default.
+    chain_gate_tol: Optional[float] = 1.0
     # KG fantasy observations include the GP's derivative channels (the
     # reference's d-KG: gpp_python_knowledge_gradient_mcmc.cpp:120 passes
     # gaussian_process_mcmc.derivatives() into the KG state); set False
@@ -313,7 +323,8 @@ class BayesianOptimizer:
             n_hypers=self.n_hypers, noisy=self.noisy,
             kernel_name=self.kernel_name, rng_key=self._next_key(),
             bucket=self.shape_bucket, mesh=self.mesh,
-            mesh_axis=self.mesh_axis, standardize=self.standardize)
+            mesh_axis=self.mesh_axis, standardize=self.standardize,
+            chain_gate_tol=self.chain_gate_tol)
         t0 = time.time()
         self.model.train()
         self._log(f"initial training took {time.time() - t0:.2f}s on "

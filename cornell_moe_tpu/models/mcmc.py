@@ -148,6 +148,97 @@ def run_ensemble_mcmc(key: jax.Array, log_prob_fn: Callable,
     return pos, lp
 
 
+# Gated-chain defaults: segments of this many stretch-move steps between
+# convergence checks, and a floor (in SEGMENTS) before the gate may fire
+# so the walkers decorrelate from the (warm) start even when the
+# equilibration statistic is immediately flat.  2 segments x 64 steps =
+# 128 >> the measured autocorrelation time of the production posteriors
+# (~5-15 steps at D=5-9; see tests/test_likelihood_mcmc.py gated-parity
+# tests and docs/retrain_gate_r05.md for the statistics evidence).
+CHAIN_GATE_SEGMENT = 64
+CHAIN_GATE_MIN_SEGMENTS = 2
+
+
+def run_ensemble_mcmc_gated(key: jax.Array, log_prob_fn: Callable,
+                            initial_positions: jax.Array, max_steps: int,
+                            rel_tol: float = 1.0, a: float = 2.0,
+                            segment: int = CHAIN_GATE_SEGMENT,
+                            min_segments: int = CHAIN_GATE_MIN_SEGMENTS):
+    """Convergence-gated stretch-move chain (equilibration early exit).
+
+    Identical per-step transition kernel to :func:`run_ensemble_mcmc`
+    (the walker key schedule differs: per-segment ``fold_in`` instead of
+    one up-front split, so the two runners are different — equally
+    valid — realizations of the same sampler).  The chain runs in
+    ``segment``-step blocks under ``lax.while_loop`` and stops once the
+    block-averaged ensemble-mean log-posterior has stopped drifting:
+
+        |m_i - m_{i-1}|  <=  rel_tol * std_walkers(lp) / sqrt(W)
+
+    and the block-averaged ensemble-mean POSITION has stopped drifting
+    in every hyperparameter dimension (same criterion with the walker
+    spread of that dimension) — i.e. every monitored drift is below the
+    resolution at which the corresponding ensemble mean is even defined
+    (the standard error the walker spread implies).  Both one-block-lag
+    and two-block-lag drifts must pass: slowly-mixing heavy-tailed
+    hyperparameters (a near-noiseless problem's log-noise) plateau the
+    log-posterior while still drifting monotonically, and the two-lag
+    test sees double the drift signal at only sqrt(2) the noise.  At
+    stationarity the block means fluctuate at exactly the SEM scale, so
+    ``rel_tol`` ~ 1 is the natural gate; a warm steady-state retrain
+    (p0 = previous posterior, one new observation) passes it after the
+    ``min_segments`` floor, while a genuinely drifting chain (fresh
+    prior start, changed data regime, slow hyper) keeps running to
+    ``max_steps``.  Non-finite statistics never satisfy the gate.
+
+    Returns (positions, log_probs, steps_taken).
+    """
+    w = initial_positions.shape[0]
+    lp0 = log_prob_fn(initial_positions)
+    max_segments = -(-max_steps // segment)
+    inv_sqrt_w = 1.0 / math.sqrt(w)
+
+    def run_segment(carry_key, seg_idx, pos, lp):
+        keys = jax.random.split(jax.random.fold_in(carry_key, seg_idx),
+                                segment)
+
+        def step(carry, k):
+            p, l = carry
+            p, l = stretch_move_step(k, p, l, log_prob_fn, a=a)
+            return (p, l), (jnp.mean(l), jnp.mean(p, axis=0))
+
+        (pos, lp), (lp_means, pos_means) = lax.scan(step, (pos, lp), keys)
+        stat = jnp.concatenate(
+            [jnp.mean(lp_means)[None], jnp.mean(pos_means, axis=0)])
+        return pos, lp, stat
+
+    def cond(state):
+        seg_idx, _, _, _, _, converged = state
+        return (seg_idx < max_segments) & ~converged
+
+    def body(state):
+        seg_idx, pos, lp, prev1, prev2, _ = state
+        pos, lp, stat = run_segment(key, seg_idx, pos, lp)
+        # SEM scale per statistic: [lp, theta_1..theta_D] walker spreads
+        scale = jnp.concatenate(
+            [jnp.std(lp)[None], jnp.std(pos, axis=0)]) * inv_sqrt_w
+        drift1 = jnp.abs(stat - prev1)
+        drift2 = jnp.abs(stat - prev2) * 0.5
+        settled = jnp.all(
+            jnp.isfinite(drift1) & (drift1 <= rel_tol * scale) &
+            jnp.isfinite(drift2) & (drift2 <= rel_tol * scale))
+        converged = settled & (seg_idx + 1 >= min_segments)
+        return (seg_idx + 1, pos, lp, stat, prev1, converged)
+
+    dtype = lp0.dtype
+    d = initial_positions.shape[1]
+    inf_stat = jnp.full((1 + d,), jnp.inf, dtype)
+    init = (jnp.zeros((), jnp.int32), initial_positions, lp0,
+            inf_stat, inf_stat, jnp.asarray(False))
+    seg_count, pos, lp, _, _, _ = lax.while_loop(cond, body, init)
+    return pos, lp, seg_count * segment
+
+
 # ---------------------------------------------------------------------------
 # Batched GP ensemble (GaussianProcessMCMC counterpart)
 # ---------------------------------------------------------------------------
@@ -228,7 +319,8 @@ class GaussianProcessLogLikelihoodMCMC:
                  noisy: bool = True, kernel_name: str = "matern_2.5",
                  rng_key: Optional[jax.Array] = None, bucket: int = 0,
                  mesh=None, mesh_axis: str = "restarts",
-                 standardize: bool = False):
+                 standardize: bool = False,
+                 chain_gate_tol: Optional[float] = None):
         self._data = historical_data
         # f32 robustness: train on (y - mean) / std of the VALUE channel
         # (derivative channels scale by 1/std; they are translation-
@@ -247,6 +339,15 @@ class GaussianProcessLogLikelihoodMCMC:
         self.standardize = standardize
         self.value_mean = 0.0
         self.value_scale = 1.0
+        # convergence gate on the post-burn-in chain (None = the full
+        # fixed-length chain, reference parity).  A float enables
+        # run_ensemble_mcmc_gated with that rel_tol: ``chain_length``
+        # becomes the CAP and each retrain's chain exits at its measured
+        # equilibration — the retrain counterpart of the suggest-phase
+        # conv gate.  Burn-in is never gated.  ``last_chain_steps``
+        # records the steps the most recent train() actually ran.
+        self.chain_gate_tol = chain_gate_tol
+        self.last_chain_steps: Optional[int] = None
         # optional device mesh: walker log-posterior evaluations (the
         # chain's only expensive part, one Cholesky per walker) shard
         # across devices; the stretch-move bookkeeping stays replicated.
@@ -481,13 +582,19 @@ class GaussianProcessLogLikelihoodMCMC:
                             out_specs=P(axis))(padded, x, y, point_noise)
                     return out[:n_valid]
 
-            def chain(key, p0, x, y, point_noise, num_steps):
-                return run_ensemble_mcmc(
+            def chain(key, p0, x, y, point_noise, num_steps,
+                      gate_tol=None):
+                if gate_tol is None:
+                    pos, lp = run_ensemble_mcmc(
+                        key, lambda t: lp_fn(t, x, y, point_noise), p0,
+                        num_steps)
+                    return pos, lp, jnp.asarray(num_steps, jnp.int32)
+                return run_ensemble_mcmc_gated(
                     key, lambda t: lp_fn(t, x, y, point_noise), p0,
-                    num_steps)
+                    num_steps, rel_tol=gate_tol)
 
             self._chain_fn_cache = jax.jit(
-                chain, static_argnames=("num_steps",))
+                chain, static_argnames=("num_steps", "gate_tol"))
         return self._chain_fn_cache
 
     def compute_log_likelihood(self, theta) -> jax.Array:
@@ -506,12 +613,14 @@ class GaussianProcessLogLikelihoodMCMC:
             if not self.burned:
                 p0 = self.prior.sample_from_prior(k_init, self.n_hypers)
                 p0 = jnp.clip(p0, -LOG_BOUND + 1e-3, LOG_BOUND - 1e-3)
-                p0, _ = chain(k_burn, p0, x, y, point_noise,
-                              num_steps=self.burnin_steps)
+                p0, _, _ = chain(k_burn, p0, x, y, point_noise,
+                                 num_steps=self.burnin_steps)
                 self.p0 = p0
                 self.burned = True
-            pos, _ = chain(k_chain, self.p0, x, y, point_noise,
-                           num_steps=self.chain_length)
+            pos, _, steps = chain(k_chain, self.p0, x, y, point_noise,
+                                  num_steps=self.chain_length,
+                                  gate_tol=self.chain_gate_tol)
+            self.last_chain_steps = int(steps)
             self.p0 = pos
             pick = jax.random.randint(k_pick, (self.n_hypers,), 0,
                                       self.n_hypers)

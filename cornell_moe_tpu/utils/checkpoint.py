@@ -45,6 +45,8 @@ def save_checkpoint(path: str, historical_data, mcmc_model=None,
             "bucket": mcmc_model.bucket,
             "standardize": bool(getattr(mcmc_model, "standardize",
                                         False)),
+            "chain_gate_tol": getattr(mcmc_model, "chain_gate_tol",
+                                      None),
         }
         if mcmc_model.p0 is not None:
             arrays["mcmc_walker_positions"] = np.asarray(mcmc_model.p0)
@@ -106,7 +108,8 @@ def restore_mcmc_model(path: str, prior=None, rng_key=None,
         rng_key=rng_key if rng_key is not None else
         jnp.asarray(arrays["mcmc_key"]),
         bucket=int(cfg.get("bucket", 0)),
-        standardize=bool(cfg.get("standardize", False)))
+        standardize=bool(cfg.get("standardize", False)),
+        chain_gate_tol=cfg.get("chain_gate_tol"))
     model.burned = cfg["burned"]
     if "mcmc_walker_positions" in arrays:
         model.p0 = jnp.asarray(arrays["mcmc_walker_positions"])

@@ -514,3 +514,109 @@ def test_standardize_scales_derivative_channels(rng):
     np.testing.assert_allclose(scaled[:, 1], g / f.std(), rtol=1e-12)
     ll.train()
     assert ll.is_trained
+
+
+# --- convergence-gated chain (round 5: the retrain serial-chain gate) ------
+
+def test_gated_sampler_recovers_gaussian():
+    """The gated runner samples the same target as the full chain: final
+    walker cloud of a known 2-d Gaussian has the right moments, and the
+    gate fires well before the cap on this trivially-equilibrating
+    target."""
+    mean = jnp.asarray([1.0, -2.0])
+    cov = jnp.asarray([[1.0, 0.6], [0.6, 2.0]])
+    cov_inv = jnp.linalg.inv(cov)
+
+    def log_prob(theta):
+        d = theta - mean
+        return -0.5 * jnp.einsum("wi,ij,wj->w", d, cov_inv, d)
+
+    p0 = mean[None, :] + jax.random.normal(
+        jax.random.PRNGKey(3), (256, 2)) @ jnp.linalg.cholesky(cov).T
+    pos, lp, steps = mcmc.run_ensemble_mcmc_gated(
+        jax.random.PRNGKey(4), log_prob, p0, 1500, rel_tol=1.0)
+    steps = int(steps)
+    assert steps < 1500, "gate never fired on an equilibrated target"
+    assert steps >= mcmc.CHAIN_GATE_MIN_SEGMENTS * mcmc.CHAIN_GATE_SEGMENT
+    samples = np.asarray(pos)
+    np.testing.assert_allclose(samples.mean(0), [1.0, -2.0], atol=0.2)
+    np.testing.assert_allclose(np.cov(samples.T),
+                               [[1.0, 0.6], [0.6, 2.0]], atol=0.4)
+
+
+def test_gated_chain_statistics_match_full_chain(rng):
+    """Sampler-statistics parity on a REAL GP log-posterior: from the
+    same warm (equilibrated) start, the gated continuation and the full
+    1000-step continuation must land walker ensembles with the same
+    posterior location/scale per hyperparameter dimension, within the
+    spread of independent full-chain realizations (the gate changes the
+    chain LENGTH, never its stationary distribution)."""
+    x, y = _data(rng, n=10)
+    data = HistoricalData(dim=2)
+    data.append_historical_data(x, y)
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, n_hypers=64, noisy=True, rng_key=jax.random.PRNGKey(0))
+    log_post = ll._make_log_posterior()
+    p0 = jnp.clip(ll.prior.sample_from_prior(jax.random.PRNGKey(1), 64),
+                  -mcmc.LOG_BOUND + 1e-3, mcmc.LOG_BOUND - 1e-3)
+    # equilibrate once at production burn-in depth (the shared warm
+    # start = the steady-state retrain's p0); 400 steps is NOT enough
+    # on this near-noiseless posterior — its log-noise dimension drifts
+    # for ~1500 steps, which is exactly what the gate's position-drift
+    # criterion exists to catch (it held the 400-step variant of this
+    # test open instead of firing at the floor)
+    warm, _ = mcmc.run_ensemble_mcmc(jax.random.PRNGKey(2), log_post,
+                                     p0, 2000)
+
+    gated_pos, _, steps = mcmc.run_ensemble_mcmc_gated(
+        jax.random.PRNGKey(10), log_post, warm, 1000, rel_tol=1.0)
+    steps = int(steps)
+    assert steps < 1000, "gate never fired from an equilibrated start"
+
+    # three independent full-chain realizations give the across-seed
+    # spread that defines "the same distribution" at W=64
+    full = [np.asarray(mcmc.run_ensemble_mcmc(
+        jax.random.PRNGKey(20 + i), log_post, warm, 1000)[0])
+        for i in range(3)]
+    full_means = np.stack([f.mean(0) for f in full])
+    full_stds = np.stack([f.std(0) for f in full])
+    gm = np.asarray(gated_pos).mean(0)
+    gs = np.asarray(gated_pos).std(0)
+
+    # gated moments within 4x the full-chain seed spread (+ small floor)
+    mean_spread = full_means.std(0) + 0.02
+    std_spread = full_stds.std(0) + 0.02
+    assert np.all(np.abs(gm - full_means.mean(0)) < 4 * mean_spread), \
+        (gm, full_means)
+    assert np.all(np.abs(gs - full_stds.mean(0)) < 4 * std_spread), \
+        (gs, full_stds)
+
+
+def test_gated_train_end_to_end(rng):
+    """train() with the gate: steady-state retrains exit early
+    (last_chain_steps < chain_length), models stay finite and track the
+    data, and the gate never touches burn-in."""
+    x = rng.random((12, 1)) * 4 - 2
+    y = np.sin(2 * x[:, 0]) + 0.01 * rng.standard_normal(12)
+    data = HistoricalData(dim=1)
+    data.append_historical_data(x, y)
+
+    ll = mcmc.GaussianProcessLogLikelihoodMCMC(
+        data, chain_length=512, burnin_steps=256, n_hypers=8,
+        noisy=False, rng_key=jax.random.PRNGKey(7), chain_gate_tol=1.0)
+    ll.train()          # burn-in (ungated) + first gated chain
+    ll.train()          # steady-state retrain
+    assert ll.is_trained
+    assert ll.last_chain_steps is not None
+    assert ll.last_chain_steps < 512, \
+        f"gate never fired: {ll.last_chain_steps}"
+    assert ll.last_chain_steps >= \
+        mcmc.CHAIN_GATE_MIN_SEGMENTS * mcmc.CHAIN_GATE_SEGMENT
+
+    from cornell_moe_tpu.models import gp as gp_mod
+    xt = jnp.asarray(np.linspace(-2, 2, 5)[:, None])
+    mus = np.asarray(jax.vmap(
+        lambda s: gp_mod.posterior_mean(s, xt))(ll.models))
+    assert np.all(np.isfinite(mus))
+    mean_pred = mus[:, :, 0].mean(0)
+    assert np.corrcoef(mean_pred, np.sin(2 * xt[:, 0]))[0, 1] > 0.9
