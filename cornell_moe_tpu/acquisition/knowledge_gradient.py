@@ -308,8 +308,20 @@ def _build_fantasy_model_batch(state: GaussianProcessState,
     # the d-KG per-evaluation FLOPs (MFU_r04).  The _rhs_grad_only
     # contract is correct here: the GP factors are constants of the
     # suggest program (only the union points are differentiated).
+    # On TPU/f32 the explicit inverse streams in bfloat16 with f32
+    # accumulation (config.KG_FANTASY_LOWP): the factor matmuls are the
+    # measured d-KG HBM bottleneck (DKG_BREAKDOWN_r05: ~13 GB/eval at
+    # 97% of peak bandwidth), and the f32 residual refinement keeps the
+    # variance-critical va output f32-grade.  The f64 parity suite and
+    # the batched==per-union equivalence tests run with lowp off
+    # (non-f32 dtypes); lowp-vs-exact tolerances are pinned in
+    # tests/test_linalg.py and tests/test_knowledge_gradient.py.
+    from cornell_moe_tpu import config as _config
+    inv_lowp = state.inv_chol_K.astype(jnp.bfloat16) \
+        if _config.kg_fantasy_lowp_enabled(k_xu_flat.dtype) else None
     va_flat, w_flat = linalg.fantasy_solves_rhs_grad_only(
-        state.chol_K, state.inv_chol_K, k_xu_flat)
+        state.chol_K, state.inv_chol_K, k_xu_flat,
+        inv_chol_lowp=inv_lowp)
     va = va_flat.reshape(n_ch, b, q_ch)
     prior_u = jax.vmap(lambda u: cov_mod.build_block_covariance(
         state.covariance, u, ds, u, ds))(unions)       # (B, q_ch, q_ch)

@@ -26,6 +26,37 @@ MINIMUM_STD_DEV = 1.0e-14
 # optionally add a small relative diagonal term.
 F32_CHOLESKY_JITTER = 1.0e-6
 
+# Low-byte (bfloat16) streaming of the KG fantasy solve chain —
+# EVALUATED AND REJECTED as a default (round 5).  The d-KG breakdown
+# (benchmarks/DKG_BREAKDOWN_r05.json) measured the (N_ch, N_ch) factor
+# matmuls as the HBM bottleneck, and this path streams the explicit
+# inverse in bf16 with one f32 residual refinement.  Measured on the
+# real chip at the 500-obs bench: the refined va still carries ~2.5e-3
+# relative error (one bf16 correction against cond(L)~10), and
+# var_u = prior - va^T va sits ~2 orders below |va|^2 there, so the
+# fantasy VARIANCE inherits O(0.5) relative error — KG at the chosen
+# point collapsed from -0.0078 to -0.0002 and the gated solver ran 1.8x
+# LONGER chasing the corrupted objective (bench 0.420 s vs 0.235 s).
+# The estimator's accuracy floor (KG lives 2-3 orders below the
+# mean/variance scales it is a difference of) rules out half-precision
+# storage on this chain; docs/dkg_bytes_r05.md carries the analysis.
+# "always" keeps the path testable (tests/test_linalg.py,
+# tests/test_knowledge_gradient.py pin its error structure); "never"
+# (default) is the full-f32 production path.
+KG_FANTASY_LOWP = "never"
+
+
+def kg_fantasy_lowp_enabled(dtype) -> bool:
+    """Resolve the KG_FANTASY_LOWP gate for inputs of ``dtype``."""
+    if KG_FANTASY_LOWP == "never" or dtype != jnp.float32:
+        return False
+    if KG_FANTASY_LOWP == "always":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
 
 def enable_x64() -> None:
     """Enable float64 globally (used by the CPU test suite for C++ parity)."""

@@ -94,7 +94,7 @@ def solve_lower_with_refinement(chol: jax.Array, inv_chol: jax.Array,
 
 
 def fantasy_solves_rhs_grad_only(chol: jax.Array, inv_chol: jax.Array,
-                                 rhs: jax.Array):
+                                 rhs: jax.Array, inv_chol_lowp=None):
     """(va, w) = (refined L^-1 rhs, refined K^-1 rhs); grads flow via rhs ONLY.
 
     Contract (in the name): ``chol`` and ``inv_chol`` are treated as
@@ -103,9 +103,63 @@ def fantasy_solves_rhs_grad_only(chol: jax.Array, inv_chol: jax.Array,
     is declared non-differentiable rather than silently wrong.  Callers
     that need state gradients must use the plain refinement chains.
     See :func:`_fantasy_solves_pair` for the cheap-VJP rationale.
+
+    ``inv_chol_lowp`` (optional, bfloat16 copy of ``inv_chol``): switch
+    to the low-byte mixed-precision chain — every inverse application
+    streams the half-width bf16 factor with f32 accumulation, and ONLY
+    the residual-refinement matmul against the f32 ``chol`` runs at
+    HIGHEST.  Error structure: va0 carries bf16-product noise (~4e-3
+    relative), the f32 residual measures it exactly, and the bf16
+    correction reapplies it to ~(4e-3)^2 ~ 2e-5 relative — so ``va``
+    (the variance-critical output) stays f32-grade while the factor
+    bytes halve on 5 of the 6 streaming matmuls (w and the VJP are
+    mean/gradient-path, where ~4e-3 relative sits far below the KG
+    estimator's MC noise).  Equivalence bounds are pinned by
+    tests/test_linalg.py::test_fantasy_solves_lowp_*.
     """
-    return _fantasy_solves_pair(lax.stop_gradient(chol),
-                                lax.stop_gradient(inv_chol), rhs)
+    if inv_chol_lowp is None:
+        return _fantasy_solves_pair(lax.stop_gradient(chol),
+                                    lax.stop_gradient(inv_chol), rhs)
+    return _fantasy_solves_pair_mixed(
+        lax.stop_gradient(chol), lax.stop_gradient(inv_chol_lowp), rhs)
+
+
+def _bdot(a_lowp: jax.Array, b: jax.Array) -> jax.Array:
+    """One-pass MXU matmul streaming bf16 operands, f32 accumulation."""
+    return jnp.matmul(a_lowp, b.astype(a_lowp.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def _fantasy_solves_pair_mixed(chol: jax.Array, inv_chol_lowp: jax.Array,
+                               rhs: jax.Array):
+    """Low-byte (va, w) solve pair; see fantasy_solves_rhs_grad_only."""
+    return _fantasy_solves_mixed_impl(chol, inv_chol_lowp, rhs)
+
+
+def _fantasy_solves_mixed_impl(chol, inv_chol_lowp, rhs):
+    va0 = _bdot(inv_chol_lowp, rhs)
+    r = rhs - hdot(chol, va0)            # f32 residual: exact correction
+    va = va0 + _bdot(inv_chol_lowp, r)
+    w = _bdot(jnp.swapaxes(inv_chol_lowp, -1, -2), va)
+    return va, w
+
+
+def _fantasy_solves_mixed_fwd(chol, inv_chol_lowp, rhs):
+    out = _fantasy_solves_mixed_impl(chol, inv_chol_lowp, rhs)
+    return out, (chol, inv_chol_lowp)
+
+
+def _fantasy_solves_mixed_bwd(res, cts):
+    chol, inv_chol_lowp = res
+    ct_va, ct_w = cts
+    ct_va_total = ct_va + _bdot(inv_chol_lowp, ct_w)
+    ct_rhs = _bdot(jnp.swapaxes(inv_chol_lowp, -1, -2), ct_va_total)
+    return jnp.zeros_like(chol), jnp.zeros_like(inv_chol_lowp), ct_rhs
+
+
+_fantasy_solves_pair_mixed.defvjp(_fantasy_solves_mixed_fwd,
+                                  _fantasy_solves_mixed_bwd)
 
 
 @jax.custom_vjp
@@ -120,9 +174,20 @@ def _fantasy_solves_pair(chol: jax.Array, inv_chol: jax.Array,
     every refinement matmul — 6 extra (N_ch, N_ch) HIGHEST matmuls per
     backward on the d-KG hot path, ~half its per-evaluation FLOPs.
 
-    This custom VJP keeps the forward bit-identical (refined, exactly
-    the va/w the estimator uses) and applies the UNREFINED operator
-    transposes in the backward:
+    Forward: va keeps its full residual refinement (va feeds
+    var_u = prior - va^T va, which sits 2-3 orders below |va|^2 at
+    production scale — var_u needs va at ABSOLUTE accuracy ~1e-5 of
+    the va scale, which only the refined f32 chain provides; see the
+    KG_FANTASY_LOWP rejection note in config.py for the measured
+    consequence of relaxing this).  w = L^-T va applies the explicit
+    inverse transpose ONCE, without its former refinement pass: the
+    unrefined operator error is cond(L) * f32 eps ~ 1e-6 relative on a
+    MEAN-path quantity (w weights the fantasy-mean projection only),
+     4-5 orders below the estimator's MC band — and dropping the pass
+    removes 2 of the 6 (N_ch, N_ch) forward factor streams per d-KG
+    evaluation (the measured HBM bottleneck, DKG_BREAKDOWN_r05).
+
+    Backward: the UNREFINED operator transposes,
 
         ct_va_total = ct_va + L^-1 ct_w        (w = ~L^-T va)
         ct_rhs      = L^-T ct_va_total         (va = ~L^-1 rhs)
@@ -131,18 +196,16 @@ def _fantasy_solves_pair(chol: jax.Array, inv_chol: jax.Array,
     true transpose is O(||I - L L^-1||) ~ cond * eps of the stored
     explicit inverse — refinement-sized noise on a *gradient* that only
     drives outer gradient-descent steps (the convergence gate and the
-    final suggest scoring use forward VALUES, which stay refined).  The
-    f64/CPU parity suite FD-pings these gradients at rtol 2e-2; the
-    approximation sits ~10 orders below that in f64.
+    final suggest scoring use forward VALUES).  The f64/CPU parity
+    suite FD-pings these gradients at rtol 2e-2; the approximation sits
+    ~10 orders below that in f64.
     """
     return _fantasy_solves_impl(chol, inv_chol, rhs)
 
 
 def _fantasy_solves_impl(chol, inv_chol, rhs):
     va = solve_lower_with_refinement(chol, inv_chol, rhs)
-    w0 = hdot(inv_chol.T, va)
-    r2 = va - hdot(chol.T, w0)
-    w = w0 + hdot(inv_chol.T, r2)
+    w = hdot(inv_chol.T, va)
     return va, w
 
 

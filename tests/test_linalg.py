@@ -35,13 +35,19 @@ def test_fantasy_solves_forward_matches_refinement_chains(rng):
     r2 = va_ref - linalg.hdot(chol.T, w0)
     w_ref = w0 + linalg.hdot(inv_chol.T, r2)
 
+    # va (variance-critical) stays bit-identical to the refined chain;
+    # w (mean-path) drops its refinement pass since round 5 — the
+    # unrefined transpose sits at cond * eps of the refined value
+    # (2 fewer (N, N) factor streams per d-KG eval, DKG_BREAKDOWN_r05)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(va_ref))
-    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
+    w_scale = float(jnp.max(jnp.abs(w_ref)))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               rtol=0, atol=1e-11 * w_scale)
     # and both are accurate solves
     np.testing.assert_allclose(np.asarray(chol @ va), np.asarray(rhs),
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(chol @ (chol.T @ w)),
-                               np.asarray(rhs), rtol=1e-10, atol=1e-10)
+                               np.asarray(rhs), rtol=1e-9, atol=1e-9)
 
 
 def test_fantasy_solves_vjp_matches_exact_transpose(rng):
@@ -128,3 +134,45 @@ def test_fantasy_solves_vjp_under_vmap(rng):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(grads), np.stack(
         [np.asarray(g) for g in singles_g]), rtol=1e-9, atol=1e-11)
+
+
+def test_fantasy_solves_lowp_va_is_f32_grade(rng):
+    """Mixed-precision chain: va (variance-critical) must match the exact
+    refined solve to ~(bf16 eps)^2 — the f32 residual measures the bf16
+    product noise exactly and the correction reapplies it quadratically —
+    while w (mean-path) is allowed bf16-product-level error (~4e-3)."""
+    chol, inv_chol, rhs = (a.astype(jnp.float32)
+                           for a in _spd_system(rng))
+    va_ref, w_ref = linalg.fantasy_solves_rhs_grad_only(
+        chol, inv_chol, rhs)
+    va_lp, w_lp = linalg.fantasy_solves_rhs_grad_only(
+        chol, inv_chol, rhs, inv_chol_lowp=inv_chol.astype(jnp.bfloat16))
+    va_scale = float(jnp.max(jnp.abs(va_ref)))
+    w_scale = float(jnp.max(jnp.abs(w_ref)))
+    np.testing.assert_allclose(np.asarray(va_lp), np.asarray(va_ref),
+                               rtol=0, atol=3e-4 * va_scale)
+    np.testing.assert_allclose(np.asarray(w_lp), np.asarray(w_ref),
+                               rtol=0, atol=2e-2 * w_scale)
+
+
+def test_fantasy_solves_lowp_vjp_tolerance(rng):
+    """The mixed backward (bf16-streamed operator transposes) stays within
+    bf16-product noise of the exact-transpose gradient."""
+    chol, inv_chol, rhs = (a.astype(jnp.float32)
+                           for a in _spd_system(rng))
+    lowp = inv_chol.astype(jnp.bfloat16)
+
+    def via_lowp(r):
+        va, w = linalg.fantasy_solves_rhs_grad_only(
+            chol, inv_chol, r, inv_chol_lowp=lowp)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    def via_exact(r):
+        va, w = linalg.fantasy_solves_rhs_grad_only(chol, inv_chol, r)
+        return jnp.sum(jnp.sin(va)) + jnp.sum(jnp.cos(w))
+
+    g_lp = jax.grad(via_lowp)(rhs)
+    g_ex = jax.grad(via_exact)(rhs)
+    scale = float(jnp.max(jnp.abs(g_ex)))
+    np.testing.assert_allclose(np.asarray(g_lp), np.asarray(g_ex),
+                               rtol=0, atol=2e-2 * scale)
