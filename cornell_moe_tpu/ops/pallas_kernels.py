@@ -121,29 +121,41 @@ def pallas_covariance_with_noise_full(points: jax.Array,
 
 _LML_SB = 32      # inner block width (v5e sweep: 16 -> 0.93 ms, 32 -> 0.74 ms, 64 -> 0.89 ms)
 
+# Row-panel sizes bounding the kernel's live temporaries so large Np
+# compiles (the round-3 cutoff at Np >= 1024 was the K-build's full
+# (Np, Np) diff/field temporaries plus the trailing Schur update's
+# (rem, rem) product exceeding VMEM, NOT a_scr itself): K is built
+# _LML_BUILD_PANEL rows at a time ((panel, Np) temps) and the trailing
+# update subtracts in _LML_TRAIL_PANEL-row slabs ((panel, rem) temps).
+# Element-for-element identical math to the unpaneled build/update.
+_LML_BUILD_PANEL = 256
+_LML_TRAIL_PANEL = 256
+
 
 def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
                       logdet_ref, a_scr, y_scr, *, kernel_name, d,
                       n_real, np_, wb):
     sb = _LML_SB
-    ii = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    eye_mask = (ii == jj).astype(jnp.float32)
-    # --- build K + diag(noise) per walker ------------------------------
+    bp = min(_LML_BUILD_PANEL, np_)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bp, np_), 1)
+    ii0 = jax.lax.broadcasted_iota(jnp.int32, (bp, np_), 0)
+    # --- build K + diag(noise) per walker, bp rows at a time -----------
     for w in range(wb):
-        s = None
-        for dd in range(d):
-            u = us_ref[0, w, dd, :]                  # (Np,)
-            diff = u[:, None] - u[None, :]
-            s = diff * diff if s is None else s + diff * diff
-        if kernel_name == "square_exponential":
-            k = jnp.exp(-0.5 * s)
-        else:                                        # matern 2.5
-            r = jnp.sqrt(s)
-            k = (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
-                jnp.exp(-_SQRT5 * r)
-        a_scr[w] = alpha_ref[0, 0, w] * k + \
-            eye_mask * noise_ref[0, w][:, None]
+        for p0 in range(0, np_, bp):
+            s = None
+            for dd in range(d):
+                u = us_ref[0, w, dd, :]              # (Np,)
+                diff = u[p0:p0 + bp][:, None] - u[None, :]
+                s = diff * diff if s is None else s + diff * diff
+            if kernel_name == "square_exponential":
+                k = jnp.exp(-0.5 * s)
+            else:                                    # matern 2.5
+                r = jnp.sqrt(s)
+                k = (1.0 + _SQRT5 * r + (5.0 / 3.0) * s) * \
+                    jnp.exp(-_SQRT5 * r)
+            eye_mask = ((ii0 + p0) == jj).astype(jnp.float32)
+            a_scr[w, p0:p0 + bp, :] = alpha_ref[0, 0, w] * k + \
+                eye_mask * noise_ref[0, w][p0:p0 + bp][:, None]
     y_scr[:] = y_ref[0]
 
     iota32 = jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0)[:, 0]
@@ -218,13 +230,22 @@ def _lml_fused_kernel(us_ref, alpha_ref, noise_ref, y_ref, quad_ref,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)      # (rem, 33)
                 l21 = l21e[:, :sb]
-                upd = jax.lax.dot_general(
-                    l21, l21,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (rem, rem)
-                a_scr[w, c0 + sb:, c0 + sb:] = \
-                    a_scr[w, c0 + sb:, c0 + sb:] - upd
+                # trailing Schur update in row slabs: bounds the live
+                # product temporary to (panel, rem) instead of
+                # (rem, rem) — the (rem, rem) form was the other VMEM
+                # blocker above Np = 896 (each output row's dot is
+                # unchanged, so the slabbed update is bit-identical)
+                rem = np_ - (c0 + sb)
+                for r0 in range(0, rem, _LML_TRAIL_PANEL):
+                    tp = min(_LML_TRAIL_PANEL, rem - r0)
+                    upd = jax.lax.dot_general(
+                        l21[r0:r0 + tp], l21,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (tp, rem)
+                    a_scr[w, c0 + sb + r0:c0 + sb + r0 + tp, c0 + sb:] = \
+                        a_scr[w, c0 + sb + r0:c0 + sb + r0 + tp,
+                              c0 + sb:] - upd
                 y_scr[w, c0 + sb:] = y_scr[w, c0 + sb:] - l21e[:, sb]
 
     quad_ref[0, 0, :] = quad

@@ -200,3 +200,49 @@ def test_mcmc_pallas_log_posterior_matches_vmapped(rng, monkeypatch):
     slow = m._log_posterior_with_data()(thetas, xp, yp, pn)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_lml_fused_above_old_cutoff(rng):
+    """Np = 1024 (above the round-3 896 cutoff): the round-5 panel-built
+    K + slab-wise trailing Schur update is element-identical math, so
+    the kernel must match the f64 numpy reference at sizes the old
+    whole-matrix build could not compile."""
+    from cornell_moe_tpu.ops import pallas_kernels as pk
+
+    W, n, d = 2, 1000, 2
+    np_ = 1024
+    x = rng.random((n, d)).astype(np.float32)
+    lengths = (0.3 + 0.4 * rng.random((W, d))).astype(np.float32)
+    alphas = (0.8 + rng.random(W)).astype(np.float32)
+    noises = (1e-2 + 1e-2 * rng.random(W)).astype(np.float32)
+    y = np.sin(3 * x[:, 0]).astype(np.float32)
+
+    us = np.zeros((W, d, np_), np.float32)
+    noise_vec = np.zeros((W, np_), np.float32)
+    y_pad = np.zeros((W, np_), np.float32)
+    for w in range(W):
+        us[w, :, :n] = (x / lengths[w]).T
+        us[w, :, n:] = 1e6 * (np.arange(np_ - n) + 1)[None, :]
+        noise_vec[w, :n] = noises[w]
+        noise_vec[w, n:] = 1e8
+        y_pad[w, :n] = y
+
+    quad, logdet = pk.pallas_lml_fused(
+        jnp.asarray(us), jnp.asarray(alphas), jnp.asarray(noise_vec),
+        jnp.asarray(y_pad), "matern_2.5", n_real=n, wb=1, interpret=True)
+
+    s5 = np.sqrt(5.0)
+    for w in range(W):
+        diff = (x[:, None, :] - x[None, :, :]) / lengths[w]
+        s = np.sum(diff * diff, -1)
+        r = np.sqrt(s)
+        k = alphas[w] * (1 + s5 * r + 5 * s / 3) * np.exp(-s5 * r) + \
+            noises[w] * np.eye(n)
+        chol = np.linalg.cholesky(k.astype(np.float64))
+        ref_logdet = np.sum(np.log(np.diag(chol)))
+        z = np.linalg.solve(chol, y.astype(np.float64))
+        np.testing.assert_allclose(float(quad[w]), float(z @ z),
+                                   rtol=5e-3)
+        np.testing.assert_allclose(float(logdet[w]), ref_logdet,
+                                   rtol=5e-4)
