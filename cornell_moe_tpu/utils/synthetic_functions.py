@@ -189,6 +189,19 @@ class BraninWithDerivatives(Branin):
     _observations = (0, 1)
 
 
+class Hartmann6WithDerivatives(Hartmann6):
+    """Noisy Hartmann6 with all six partials observed.
+
+    The d-KG paper's winning regime (Wu et al. NeurIPS'17, cited at
+    /root/reference/README.md:261-277): higher-dimensional + noisy +
+    small budget.  The reference builds this configuration by setting
+    _observations = numpy.arange(dim) and sample_var > 0 on any
+    synthetic function (examples/synthetic_functions.py:16)."""
+
+    _observations = (0, 1, 2, 3, 4, 5)
+    _sample_var = 0.01
+
+
 class BraninFidelity(SyntheticFunction):
     """Branin with one continuous-fidelity dimension (last coordinate).
 
@@ -221,6 +234,7 @@ SYNTHETIC_FUNCTIONS = {
     "Branin": Branin,
     "BraninNoisy": BraninNoisy,
     "BraninWithDerivatives": BraninWithDerivatives,
+    "Hartmann6WithDerivatives": Hartmann6WithDerivatives,
     "BraninFidelity": BraninFidelity,
     "Rosenbrock": Rosenbrock,
     "Hartmann3": Hartmann3,
