@@ -70,6 +70,22 @@ def measure(num_obs: int) -> dict:
     wall = float(min(times))
     hyp = np.asarray(model.hypers)
     assert np.all(np.isfinite(hyp)), "non-finite walkers"
+
+    # production driver config: equilibration-gated chain (round 5)
+    model_g = GaussianProcessLogLikelihoodMCMC(
+        hist, chain_length=1000, burnin_steps=2000, n_hypers=n_ensemble,
+        noisy=True, bucket=16, rng_key=jax.random.PRNGKey(0),
+        chain_gate_tol=1.0)
+    model_g.train()
+    g_times, g_steps = [], []
+    for _ in range(2):
+        t0 = time.time()
+        model_g.train()
+        g_times.append(time.time() - t0)
+        g_steps.append(model_g.last_chain_steps)
+
+    # the fused kernel COMPILES to Np = 1024 since round 5 but the gate
+    # stays at 896 as a measured perf choice (models/mcmc.py)
     lml_path = "pallas_fused" if padded <= 896 else "xla_batched_chol"
     return {
         "metric": "MCMC retrain per iteration (16 walkers, chain 1000)",
@@ -79,6 +95,8 @@ def measure(num_obs: int) -> dict:
         "value": round(wall, 4),
         "unit": "seconds",
         "per_chain_step_ms": round(wall / 1000 * 1e3, 4),
+        "gated_value": round(float(min(g_times)), 4),
+        "gated_chain_steps": g_steps,
         "first_train_s": round(first, 1),
     }
 

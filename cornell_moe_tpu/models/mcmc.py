@@ -495,11 +495,19 @@ class GaussianProcessLogLikelihoodMCMC:
             from cornell_moe_tpu.ops import pallas_kernels as pk
 
             n_obs = x.shape[0]
-            # Mosaic-compile-checked cutoff (real v5e, round 3): every
-            # padded size up to 896 compiles ((640, wb=4), (768, wb=2/4),
-            # (896, wb=2) measured OK); every Np >= 1024 fails to compile
-            # even at wb=1 (a_scr + the K-build temporaries exceed the
-            # kernel's VMEM budget).  XLA takes over beyond 896.
+            # Cutoff 896 is a PERFORMANCE choice since round 5, no
+            # longer a compile limit: the panel-built K + slabbed
+            # trailing update (ops/pallas_kernels.py) lifted the
+            # round-3 Mosaic failure to Np = 1024 at wb = 2 (compiles,
+            # 2.5e-4 vs numpy — benchmarks/LML_LARGE_r05.json; wb = 1
+            # at >= 1024 and every Np >= 1280 still fail), but MEASURED
+            # at that size the fused factorization only ties XLA's
+            # batched Cholesky (5.87 vs 5.85 ms/16-walker eval) and the
+            # in-chain retrain ran 9% slower than the XLA fallback
+            # (5.76 vs 5.27 s ungated at n = 1000, SCALING_r05 vs r04:
+            # the kernel pads 1008 -> 1024 and has nothing left to
+            # fuse away at this size).  Below 896 the fused kernel's
+            # ~2x win stands; above it XLA is the faster path.
             if x.dtype != jnp.float32 or n_obs > 896:
                 return vmapped(thetas, x, y, point_noise)
             w = thetas.shape[0]

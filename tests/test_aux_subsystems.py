@@ -158,6 +158,7 @@ def test_bayes_opt_checkpoint_resume(tmp_path):
     assert "suggest" in bo2.timer.summary()
 
 
+@pytest.mark.slow
 def test_checkpoint_restores_derivatives_and_bucket(tmp_path, rng):
     """d-KG checkpoints must round-trip derivative channels + bucket."""
     n, dim = 6, 2
@@ -196,6 +197,7 @@ def test_checkpoint_restore_returns_rng_key(tmp_path, rng):
                                   np.asarray(jax.random.PRNGKey(11)))
 
 
+@pytest.mark.slow
 def test_bayes_opt_kg_campaign_checkpoint_resume(tmp_path):
     """Resume path of the real-function campaign configuration
     (examples/run_cifar10_campaign.py): KG method, q>1, noisy

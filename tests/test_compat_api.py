@@ -112,6 +112,7 @@ def test_gaussian_process_singular_raises(rng):
         gp_c.GaussianProcess(cov, [0.0], data)
 
 
+@pytest.mark.slow
 def test_expected_improvement_compat(rng):
     gp, x, y = _make_gp(rng)
     ei = ei_c.ExpectedImprovement(gp, points_to_sample=[[0.4]],
@@ -326,6 +327,7 @@ def test_estimation_policy_classes(rng):
     assert noise == const.DEFAULT_KRIGING_NOISE_VARIANCE
 
 
+@pytest.mark.slow
 def test_mcmc_point_list_evaluators(rng):
     """evaluate_at_point_list on the MCMC classes
     (evaluate_EI_mcmc_at_point_list / evaluate_KG_mcmc_at_point_list

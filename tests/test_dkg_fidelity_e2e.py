@@ -78,6 +78,7 @@ def test_continuous_fidelity_end_to_end():
     assert np.isfinite(h["true_value"])
 
 
+@pytest.mark.slow
 def test_dei_with_derivative_observations(rng=np.random.default_rng(0)):
     """d-EI: EI machinery over a derivative-observed GP (analytic + MC +
     multistart), the Wu et al. 2017 d-EI setting."""

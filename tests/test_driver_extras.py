@@ -77,6 +77,7 @@ def _gp_1d(rng, n=10, noise=1e-3, kernel="square_exponential"):
                      jnp.asarray(y)[:, None]), x, y
 
 
+@pytest.mark.slow
 def test_random_feature_sample_approximates_posterior(rng):
     state, x, y = _gp_1d(rng)
     xt = jnp.asarray(np.linspace(-2, 2, 7)[:, None])

@@ -112,6 +112,7 @@ def test_ei_with_points_being_sampled(rng):
     assert near < solo + 1e-6
 
 
+@pytest.mark.slow
 def test_multistart_ei_optimization_improves(rng):
     state, x, y = _gp_1d(rng)
     params = optimizers.GradientDescentParameters(
@@ -254,6 +255,7 @@ def _ensemble(rng, n=12, s=3):
     return states, x, y
 
 
+@pytest.mark.slow
 def test_batched_qei_mcmc_matches_per_start(rng):
     """monte_carlo_expected_improvement_mcmc_batch == vmapped per-start
     estimator (same solve path, same jitter) to rounding."""
@@ -279,6 +281,7 @@ def test_batched_qei_mcmc_matches_per_start(rng):
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_batched_qei_mcmc_grads_match(rng):
     states, x, y = _ensemble(rng)
     normals = ei.draw_normals(jax.random.PRNGKey(1), 32, 2)
@@ -293,6 +296,7 @@ def test_batched_qei_mcmc_grads_match(rng):
                                rtol=1e-10, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_batched_qei_endpoint_matches_vmapped(rng):
     """multistart_expected_improvement_mcmc_optimization use_batched=True
     (round-4 default) lands on the same suggestion as the vmapped path."""
@@ -334,6 +338,7 @@ def test_batched_qei_gate_unreachable_tol_is_exact(rng):
 # Lockstep-batched single-GP q-EI (the round-5 EI-driver path)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_single_gp_batched_qei_matches_per_start(rng):
     """expected_improvement_batch_value_and_grad == per-start values and
     grads on one GP (the member-0 estimator the EI driver optimizes)."""
@@ -367,6 +372,7 @@ def test_single_gp_batched_qei_matches_per_start(rng):
                                rtol=1e-10, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_single_gp_batched_endpoint_matches_vmapped(rng):
     """multistart_expected_improvement_optimization use_batched=True (the
     round-5 default) lands on the same suggestion as the vmapped path —
@@ -390,6 +396,7 @@ def test_single_gp_batched_endpoint_matches_vmapped(rng):
                                    rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_single_gp_ei_sharded_matches_single_device(rng):
     """The EI suggest multistart sharded over the 8-device mesh (gated,
     chunk matched) == single-device — the EI-mode counterpart of the KG

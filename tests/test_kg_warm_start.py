@@ -71,6 +71,7 @@ def test_union_guard_matches_fantasy_mean_at_union(rng):
                                    atol=1e-11)
 
 
+@pytest.mark.slow
 def test_warm_equals_cold_when_started_at_cold_argmin(rng):
     """Warm KG seeded with the cold path's own descent endpoints and zero
     extra steps must agree with the cold value up to the guard set
@@ -100,6 +101,7 @@ def test_warm_equals_cold_when_started_at_cold_argmin(rng):
                                rtol=0.05, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_warm_multistart_matches_cold_suggestion(rng):
     """Carry-threaded multistart lands on a suggestion whose cold KG value
     matches the cold multistart's within MC/solver tolerance.
@@ -155,6 +157,7 @@ def test_warm_multistart_matches_cold_suggestion(rng):
     assert float(pure_res.best_value) > 0.85 * cold_val - 1e-3
 
 
+@pytest.mark.slow
 def test_warm_multistart_chunked_matches_unchunked(rng):
     state, x, y = _gp_1d(rng)
     hypers = np.asarray([[1.0, 0.7]])
@@ -193,6 +196,7 @@ def test_warm_multistart_chunked_matches_unchunked(rng):
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_warm_multistart_convergence_gate(rng):
     """conv_tol gating: with an unreachable tolerance the while-loop path
     is bit-identical to the fixed-depth scan path (incl. the circular
@@ -245,6 +249,7 @@ def test_warm_multistart_convergence_gate(rng):
                                rtol=0.05, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_driver_mcmc_multistart_warm_matches_cold(rng):
     """The production suggest endpoint with warm_start=True (default)
     returns a suggestion of the same cold-evaluated quality as
@@ -294,6 +299,7 @@ def _gp_ensemble_dkg(rng, n=10):
     return states, x, f
 
 
+@pytest.mark.slow
 def test_dkg_warm_matches_cold_quality(rng):
     """Round-4 gate lift: the warm reseed carry covers derivative-sampling
     channels (d-KG) — the production endpoint with warm_start=True must
@@ -331,6 +337,7 @@ def test_dkg_warm_matches_cold_quality(rng):
     assert v_warm > v_cold - 0.05 * abs(v_cold) - 2e-3, (v_warm, v_cold)
 
 
+@pytest.mark.slow
 def test_cfkg_warm_matches_cold_quality(rng):
     """Round-4 gate lift: the warm reseed carry covers fidelity dims
     (cf-KG, gpp_knowledge_gradient_mcmc_optimization.cpp:87-104)."""

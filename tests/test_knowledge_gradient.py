@@ -137,6 +137,7 @@ def test_kg_prefers_informative_points(rng):
     assert kg_new > kg_old
 
 
+@pytest.mark.slow
 def test_compute_optimal_posterior_mean(rng):
     state, x, y = _gp_1d(rng, n=14, noise=1e-6)
     dom = TensorProductDomain.from_bounds([[-2.0, 2.0]])
@@ -163,6 +164,7 @@ def test_fidelity_cost_and_pinning():
     np.testing.assert_allclose(np.asarray(x), [0.3, 1.0, 1.0])
 
 
+@pytest.mark.slow
 def test_kg_mcmc_averaging(rng):
     state_a, x, y = _gp_1d(rng)
     hypers = np.asarray([[1.0, 0.7], [1.3, 0.9]])
@@ -198,6 +200,7 @@ def test_multistart_kg_optimization_runs(rng):
     assert bool(jnp.all(dom.check_point_inside(pts)))
 
 
+@pytest.mark.slow
 def test_batched_kg_matches_single(rng):
     """knowledge_gradient_batch must equal the per-union path exactly."""
     state, x, y = _gp_1d(rng)
@@ -249,6 +252,7 @@ def test_batched_kg_mcmc_value_and_grad(rng):
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_batched_kg_lowp_within_tolerance(rng, monkeypatch):
     """KG_FANTASY_LOWP (bf16-streamed fantasy solves, the TPU d-KG byte
     cut) changes batched KG values and gradients by at most bf16-product

@@ -213,6 +213,7 @@ def test_map_optimize_end_to_end(rng):
     assert mcmc.ensemble_size(ll.models) == 1
 
 
+@pytest.mark.slow
 def test_shape_bucketing_padding_is_inert(rng):
     """A bucketed (padded) fit must match the unpadded fit to ~1/PAD_NOISE."""
     x, y = _data(rng, n=9)
@@ -449,6 +450,7 @@ def test_finalize_repairs_nonfinite_member_fits(rng, monkeypatch):
         ll._finalize_models()
 
 
+@pytest.mark.slow
 def test_standardize_trains_on_scaled_targets(rng):
     """standardize=True: raw-scale y trains like its standardized copy.
 
@@ -544,6 +546,7 @@ def test_gated_sampler_recovers_gaussian():
                                [[1.0, 0.6], [0.6, 2.0]], atol=0.4)
 
 
+@pytest.mark.slow
 def test_gated_chain_statistics_match_full_chain(rng):
     """Sampler-statistics parity on a REAL GP log-posterior: from the
     same warm (equilibrated) start, the gated continuation and the full

@@ -96,6 +96,7 @@ def test_graft_entry_compiles():
     assert grad.shape == args[0].shape
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -103,6 +104,7 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_batched_kg_matches_single_device(rng):
     """The PRODUCTION suggest program (batched ensemble KG multistart)
     sharded over the mesh must match the single-device result — the
@@ -154,6 +156,7 @@ def test_sharded_batched_kg_matches_single_device(rng):
                                np.asarray(single.best_point), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_warm_gated_kg_matches_single_device(rng):
     """The round-3 PRODUCTION suggest program — warm-started inner
     descents (reseed mode) + the per-chunk step-norm convergence gate —
