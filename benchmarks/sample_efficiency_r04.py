@@ -107,12 +107,19 @@ def run_part_b(small: bool):
             ("cfKG", sf.BraninFidelity, "KG"),
             ("KG-full-fidelity", sf.Branin, "KG")):
         for seed in seeds:
+            # noisy=True (learned noise floor) for BOTH arms: the
+            # campaign converges onto near-duplicate points (same x at
+            # s ~ 1), where the noiseless 1e-8 nugget cannot condition
+            # the f32 system even standardized — seed 3 of the
+            # noisy=False run collapsed every ensemble member at ~40
+            # obs.  The reference's f64 core never faces this; a
+            # learned noise floor is the f32-native equivalent.
             bo = bo_mod.BayesianOptimizer(
                 objective_func=objective(), method=method,
                 num_to_sample=4, n_hypers=16,
                 chain_length=1000, burnin_steps=2000,
                 shape_bucket=64,
-                noisy=False, standardize=True, verbose=False, seed=seed)
+                noisy=True, standardize=True, verbose=False, seed=seed)
             bo.initialize(num_init_pts=12)
             t0 = time.time()
             curve = []          # (capital, best recommended true value)
