@@ -31,7 +31,7 @@ v5e single-chip peaks used for the ratios (public spec):
   HBM bandwidth   819 GB/s
 
 Run:  python benchmarks/profile_mfu.py [--trace]
-Writes benchmarks/MFU_r04.json and prints one JSON line per program.
+Writes benchmarks/MFU_r05.json and prints one JSON line per program.
 """
 
 from __future__ import annotations
@@ -398,7 +398,7 @@ def main():
         results["trace_dir"] = trace_dir
         print(json.dumps({"trace_dir": trace_dir}), flush=True)
 
-    out_path = os.path.join(os.path.dirname(__file__), "MFU_r04.json")
+    out_path = os.path.join(os.path.dirname(__file__), "MFU_r05.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
