@@ -71,6 +71,7 @@ def test_repeated_domain_compat():
     assert rep.check_point_inside(pts[0])
 
 
+@pytest.mark.slow
 def test_gaussian_process_compat_surface(rng):
     gp, x, y = _make_gp(rng)
     assert gp.dim == 1 and gp.num_sampled == 9

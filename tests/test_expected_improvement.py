@@ -202,6 +202,7 @@ def test_heuristic_ei_shape_stable_no_recompiles(rng, monkeypatch):
         f"per-round shapes changed: {seen_shapes}"
 
 
+@pytest.mark.slow
 def test_heuristic_ei_preserves_bucketed_point_noise(rng):
     """Refits inside the heuristic fantasy loop must keep the state's own
     per-point noise: a shape-bucketed state (PAD_NOISE dummy rows) must
@@ -316,6 +317,7 @@ def test_batched_qei_endpoint_matches_vmapped(rng):
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_batched_qei_gate_unreachable_tol_is_exact(rng):
     """conv_tol=0.0 can never fire: the gated batched multistart must be
     bit-identical to the ungated one (circular Polyak buffer included)."""

@@ -62,6 +62,7 @@ def test_kg_nonnegative_and_finite(rng):
     assert val > -1e-6
 
 
+@pytest.mark.slow
 def test_kg_matches_bruteforce_discrete(rng):
     """With GD disabled (0 steps), KG must equal the brute-force computation
     over the discretized set done in plain numpy."""
@@ -119,6 +120,7 @@ def test_kg_gradient_ping(rng):
     assert float(val) >= 0.0
 
 
+@pytest.mark.slow
 def test_kg_prefers_informative_points(rng):
     """KG at an unexplored region should beat KG at an already-sampled
     point."""

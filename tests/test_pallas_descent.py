@@ -65,6 +65,7 @@ def test_pallas_descent_run_matches_gradient_ascent(problem):
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pallas_descent_vmapped_over_ensemble(problem, rng):
     state, unions, v, betas, normals, pts = problem
     hypers = (np.abs(rng.standard_normal((4, 3))) + 0.5).astype(np.float32)
@@ -170,6 +171,7 @@ def test_pallas_lml_fused_matches_reference(rng):
                                    rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_mcmc_pallas_log_posterior_matches_vmapped(rng, monkeypatch):
     """The batched Pallas log-posterior equals the vmapped XLA path."""
     import functools

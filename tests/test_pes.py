@@ -145,6 +145,7 @@ def test_run_pes_smoke(tmp_path):
     assert (tmp_path / "Ysamples.txt").exists()
 
 
+@pytest.mark.slow
 def test_closed_form_blocks_match_autodiff_oracle(rng):
     """The broadcasted SE block builder equals the nested-autodiff oracle
     (which itself replaces the reference's compute_covariance.py table)."""
