@@ -33,11 +33,12 @@ import numpy as np
 H6_TRUE_MIN = -3.32237
 
 
-def run_part_c(small: bool):
+def run_part_c(small: bool, seeds=None):
     from cornell_moe_tpu import bayes_opt as bo_mod
     from cornell_moe_tpu.utils import synthetic_functions as sf
 
-    seeds = [0] if small else [0, 1, 2, 3, 4]
+    if seeds is None:
+        seeds = [0] if small else [0, 1, 2, 3, 4]
     iters = 2 if small else 8
     methods = [
         ("dKG", "KG", True),
@@ -91,8 +92,12 @@ def run_part_c(small: bool):
 if __name__ == "__main__":
     small = "--small" in sys.argv
     part = next((a for a in sys.argv[1:] if a in ("b", "c")), None)
+    seeds = None
+    for a in sys.argv[1:]:
+        if a.startswith("--seeds="):
+            seeds = [int(s) for s in a.split("=", 1)[1].split(",")]
     if part in (None, "b"):
         import sample_efficiency_r04 as r04
         r04.run_part_b(small)
     if part in (None, "c"):
-        run_part_c(small)
+        run_part_c(small, seeds=seeds)
