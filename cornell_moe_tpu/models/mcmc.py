@@ -24,6 +24,7 @@ serial loop (gpp_knowledge_gradient_mcmc_optimization.cpp:137-143).
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 from typing import Callable, Optional, Sequence
@@ -243,6 +244,53 @@ def run_ensemble_mcmc_gated(key: jax.Array, log_prob_fn: Callable,
 # Batched GP ensemble (GaussianProcessMCMC counterpart)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _ensemble_fit_program(kernel_name: str, derivatives: tuple,
+                          jitter: float, f32: bool, has_point_noise: bool,
+                          has_mean: bool):
+    """Cached jitted vmapped ensemble fit.
+
+    The eager vmapped fit dispatched each of its ~15 ops separately over
+    the TPU tunnel (~30 ms floor on big-operand dispatches), a fixed
+    ~0.15 s tax on EVERY retrain that the round-5 gated chain exposed
+    as ~40% of the remaining wall; one jitted program collapses it to a
+    single dispatch.  Static across the cache key: kernel, channel
+    layout, jitter policy, presence of point-noise/mean (shape/dtype
+    specialization is jit's own cache).
+    """
+    def fit(hypers, noises, x, y, point_noise, mean):
+        def one(h, nv):
+            cov = cov_mod.COVARIANCE_TYPES[kernel_name](
+                hyperparameters=h)
+            jit_w = jitter
+            if f32:
+                # f32 conditioning floor (config.F32_CHOLESKY_JITTER,
+                # relative via the walker's amplitude): walkers that
+                # visit near-noiseless hypers with domain-sized
+                # lengthscales produce block matrices whose f32
+                # Cholesky goes non-finite — on derivative-channel
+                # systems MOST of the ensemble (13/16 measured on
+                # BraninWithDerivatives at 52 obs) — which the repair
+                # path can only paper over.  1e-6 relative is below
+                # every f32 test tolerance and exactly zero in the
+                # f64 parity suite.
+                from cornell_moe_tpu.config import F32_CHOLESKY_JITTER
+                jit_w = jitter + F32_CHOLESKY_JITTER * h[0]
+            return gp_mod.fit_gp(cov, nv, x, y, derivatives,
+                                 jitter=jit_w, point_noise=point_noise,
+                                 mean=mean)
+
+        return jax.vmap(one)(hypers, noises)
+
+    if not has_point_noise and not has_mean:
+        return jax.jit(lambda h, n, x, y: fit(h, n, x, y, None, None))
+    if has_point_noise and has_mean:
+        return jax.jit(fit)
+    if has_point_noise:
+        return jax.jit(lambda h, n, x, y, pn: fit(h, n, x, y, pn, None))
+    return jax.jit(lambda h, n, x, y, m: fit(h, n, x, y, None, m))
+
+
 def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
                     noises: jax.Array, points, values,
                     derivatives: Sequence[int] = (), jitter: float = 0.0,
@@ -252,7 +300,9 @@ def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
     ``hypers`` is (S, 1+dim) covariance hyperparameters (linear space);
     ``noises`` is (S, 1+m).  Equivalent to GaussianProcessMCMC's vector of
     GaussianProcess objects (gpp_kg_mcmc_optimization.cpp:40-49), but with
-    the ensemble as a leading batch axis on every leaf.
+    the ensemble as a leading batch axis on every leaf.  Runs as ONE
+    cached jitted program per (config, shape) — see
+    :func:`_ensemble_fit_program`.
     """
     x = np.asarray(points)
     y = np.asarray(values)
@@ -266,25 +316,16 @@ def fit_gp_ensemble(kernel_name: str, hypers: jax.Array,
         point_noise = jnp.asarray(point_noise)
     xj, yj = jnp.asarray(x), jnp.asarray(y)
 
-    def one(h, nv):
-        cov = cov_mod.COVARIANCE_TYPES[kernel_name](hyperparameters=h)
-        jit_w = jitter
-        if xj.dtype == jnp.float32:
-            # f32 conditioning floor (config.F32_CHOLESKY_JITTER,
-            # relative via the walker's amplitude): walkers that visit
-            # near-noiseless hypers with domain-sized lengthscales
-            # produce block matrices whose f32 Cholesky goes non-finite
-            # — on derivative-channel systems MOST of the ensemble
-            # (13/16 measured on BraninWithDerivatives at 52 obs) —
-            # which the repair path can only paper over.  1e-6 relative
-            # is below every f32 test tolerance and exactly zero in the
-            # f64 parity suite.
-            from cornell_moe_tpu.config import F32_CHOLESKY_JITTER
-            jit_w = jitter + F32_CHOLESKY_JITTER * h[0]
-        return gp_mod.fit_gp(cov, nv, xj, yj, derivatives, jitter=jit_w,
-                             point_noise=point_noise, mean=mean)
-
-    return jax.vmap(one)(jnp.asarray(hypers), jnp.asarray(noises))
+    prog = _ensemble_fit_program(
+        kernel_name, tuple(int(i) for i in derivatives), float(jitter),
+        xj.dtype == jnp.float32, point_noise is not None,
+        mean is not None)
+    args = [jnp.asarray(hypers), jnp.asarray(noises), xj, yj]
+    if point_noise is not None:
+        args.append(point_noise)
+    if mean is not None:
+        args.append(jnp.asarray(mean, xj.dtype))
+    return prog(*args)
 
 
 def ensemble_size(states: gp_mod.GaussianProcessState) -> int:
